@@ -1,0 +1,74 @@
+"""Pipeline configuration.
+
+The "reference config" maps 1:1 onto the signature constants of the
+reference implementation (see SURVEY.md §7):
+
+- shingle_width = 16   : RAB_POLYNOMIAL_WIN_SIZE (rabin/rabin_dedup.h:90)
+- minhash_k     = 20   : K min-values per segment = 100 / DEFAULT_PCT_INTERVAL(5)
+                         (rabin/global/index.c:183-186, rabin_dedup.c:976-994)
+- lsh_bands b=20, r=1  : the reference probes each of the K min-values
+                         independently against the index (rabin_dedup.c:1026-1036)
+- simhash_bits  = 64   : 64-bit similarity keys (rabin/global/index.c:500-505)
+- simhash_radius = 3   : hamming ball for "similar" blocks
+- tau_normal / tau_extra = 0.6 / 0.4 : DELTA_NORMAL / DELTA_EXTRA similarity
+                         thresholds (rabin/rabin_dedup.h:153-159, rabin_dedup.c:97-99)
+- substring_min_len = 2048 : 1 << RAB_BLK_MIN_BITS(11) (rabin/rabin_dedup.h:88)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- signature config (mirrors the reference constants) ---
+    shingle_width: int = 16          # characters per shingle
+    minhash_k: int = 20              # number of minhash permutations
+    lsh_bands: int = 20              # b
+    lsh_rows: int = 1                # r (b*r == minhash_k)
+    simhash_bits: int = 64
+    simhash_radius: int = 3          # max hamming distance
+    simhash_blocks: int = 4          # pigeonhole blocks (radius+1)
+    tau_normal: float = 0.6          # DELTA_NORMAL verify threshold
+    tau_extra: float = 0.4           # DELTA_EXTRA verify threshold
+    substring_min_len: int = 2048    # min verbatim shared span (chars)
+    min_doc_len: int = 32            # docs shorter than this skip fuzzy dedup
+                                     # (analog of small-chunk filter,
+                                     # rabin_dedup.c:500-510)
+
+    # --- scale/skew knobs ---
+    salt_buckets: int = 16           # salt factor for hot LSH bands
+    max_bucket_docs: int = 2000      # cap on docs per band bucket (pair explosion
+                                     # guard; drops are logged, never silent)
+    shuffle_partitions: int = 32
+    arrow_batch_rows: int = 2048     # arrow maxRecordsPerBatch for wide arrays
+
+    # --- hashing seeds (deterministic, fixed) ---
+    seed: int = 42
+    # multiply-add minhash permutation parameters are derived from seed
+
+    # --- substring fingerprinting (winnowing) ---
+    substring_window: int = 64       # rolling-hash window (chars)
+    substring_stride: int = 992      # sample stride; window+stride-1 <= min_len/2+...
+                                     # guarantee: shared span >= window + stride - 1
+                                     # in BOTH docs is caught; 64+992-1=1055 < 2048
+                                     # with both-side anchor alignment (see substring.py)
+
+    # --- verification ---
+    verify_tau: float = 0.4          # emit edges with exact jaccard >= this;
+                                     # `kind` column distinguishes >=0.6 vs >=0.4
+
+    checkpoint_dir: str = "/tmp/pcompress_spark_ckpt"
+    checkpoint_format: str = "parquet"  # "iceberg" on a real cluster
+
+    def __post_init__(self) -> None:
+        assert self.lsh_bands * self.lsh_rows == self.minhash_k, (
+            "b*r must equal minhash K"
+        )
+        assert self.simhash_blocks >= self.simhash_radius + 1, (
+            "pigeonhole needs radius+1 blocks"
+        )
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,189 @@
+"""Vectorized 64-bit hashing primitives (numpy, uint64 wraparound).
+
+These are the analogs of the reference's rolling-hash + sketch math:
+
+- `shingle_hashes`   : k-char shingle fingerprints — the analog of the Rabin
+  polynomial rolling window (reference rabin/rabin_dedup.c:620-714, window
+  size RAB_POLYNOMIAL_WIN_SIZE=16, rabin_dedup.h:90). We use a multiplicative
+  polynomial hash over byte windows, fully vectorized with stride tricks —
+  same role (content fingerprint of a fixed-width window), Spark-first shape
+  (one numpy pass per Arrow batch instead of a per-byte C loop).
+- `minhash_from_shingles` : K-min-values sketch (reference takes the K=20
+  smallest distinct 64-bit block hashes per segment, rabin_dedup.c:976-994).
+  We use K independent multiply-add permutations and take the min of each —
+  the standard MinHash estimator with identical collision semantics.
+- `simhash_from_shingles` : 64-bit SimHash bit-vote (reference's
+  `similarity_hash` is XXH32 over the min-heap of block words,
+  rabin_dedup.c:696-706 + utils/heap.c:42-75; SimHash is the
+  locality-sensitive generalization used for document-level similarity).
+
+All functions are deterministic in `seed` and shared verbatim by the Spark
+UDFs and the golden oracle (pcompress_spark/oracle.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+# odd 64-bit multiplier (splitmix64 / Murmur-family constant) — public domain
+_MULT = np.uint64(0xFF51AFD7ED558CCD)
+_MIX1 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — public-domain (Steele et al.), good avalanche."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * _MULT
+    z = (z ^ (z >> np.uint64(27))) * _MIX1
+    return z ^ (z >> np.uint64(31))
+
+
+def shingle_hashes(text: str, width: int = 16) -> np.ndarray:
+    """Distinct 64-bit hashes of every `width`-char (byte) shingle of `text`.
+
+    Returns a sorted unique uint64 array. Empty array if the doc is shorter
+    than one shingle — the analog of the reference's small-chunk skip
+    (rabin_dedup.c:500-510).
+    """
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = b.size
+    if n < width:
+        return np.empty(0, dtype=np.uint64)
+    # sliding windows (n-width+1, width) without copying
+    windows = np.lib.stride_tricks.sliding_window_view(b, width)
+    h = _poly_window_hash(windows)
+    h = _splitmix64(h)
+    return np.unique(h)
+
+
+def _poly_powers(width: int) -> np.ndarray:
+    """M^(width-1-i) mod 2^64 for i in [0,width) — python ints avoid
+    numpy scalar-overflow warnings (wraparound is intended)."""
+    powers, acc, m = [], 1, int(_MULT)
+    for _ in range(width):
+        powers.append(acc)
+        acc = (acc * m) & 0xFFFFFFFFFFFFFFFF
+    powers.reverse()
+    return np.array(powers, dtype=np.uint64)
+
+
+_POWER_CACHE: dict[int, np.ndarray] = {}
+
+
+def _poly_window_hash(windows: np.ndarray) -> np.ndarray:
+    """uint64 polynomial hash of each row of a (n, width) byte matrix."""
+    width = windows.shape[1]
+    powers = _POWER_CACHE.get(width)
+    if powers is None:
+        powers = _POWER_CACHE[width] = _poly_powers(width)
+    with np.errstate(over="ignore"):
+        return windows.astype(np.uint64) @ powers
+
+
+def window_hashes_all(data: bytes | np.ndarray, width: int) -> np.ndarray:
+    """Per-offset (NOT uniqued) window hashes of a byte string.
+
+    Used by the substring channel (winnowing anchors) and the oracle's
+    exact common-substring check. Content-defined: identical spans produce
+    identical hash runs regardless of their offset in the doc — the same
+    property the reference gets from its Rabin rolling window
+    (rabin/rabin_dedup.c:620-666).
+    """
+    b = np.frombuffer(data, dtype=np.uint8) if isinstance(data, bytes) else data
+    if b.size < width:
+        return np.empty(0, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, width)
+    return _poly_window_hash(windows)
+
+
+def _sliding_min(h: np.ndarray, s: int) -> np.ndarray:
+    """Min over every window of `s` consecutive values — vectorized
+    sparse-table (O(n log s)), exact."""
+    n = h.size
+    if n <= s:
+        return h.min(keepdims=True)
+    # largest power of two <= s
+    j = 1
+    st = h
+    while j * 2 <= s:
+        st = np.minimum(st[: st.size - j], st[j:])
+        j *= 2
+    # windows of size s = min of two overlapping size-j ranges
+    return np.minimum(st[: n - s + 1], st[s - j : s - j + n - s + 1])
+
+
+def winnow_anchors(text: str, width: int, stride: int) -> np.ndarray:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — public
+    algorithm). For every position, select the min window-hash within the
+    next `stride` offsets; return the distinct selected values.
+
+    Content-defined: a window of `stride` consecutive hashes fully inside a
+    shared verbatim span yields the same min in both documents, regardless
+    of the span's offset. Guarantee: two docs sharing a span of
+    >= width+stride-1 chars share at least one anchor. This is the analog
+    of the reference's content-defined Rabin block boundaries
+    (rabin/rabin_dedup.c:664-666 cut rule) — sampling positions from
+    content, not offsets.
+    """
+    h = window_hashes_all(text.encode("utf-8"), width)
+    if h.size == 0:
+        return h
+    return np.unique(_sliding_min(h, stride))
+
+
+def minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """K deterministic (a, b) multiply-add permutation params (a odd)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 1 << 63, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=k, dtype=np.uint64)
+    return a, b
+
+
+def minhash_from_shingles(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """K-value MinHash signature of a shingle set. uint64[k].
+
+    Empty shingle set → all-max sentinel (never collides with real docs).
+    """
+    k = a.size
+    if shingles.size == 0:
+        return np.full(k, MASK64, dtype=np.uint64)
+    # (k, m) = a[:,None]*sh[None,:] + b[:,None], min over m
+    vals = a[:, None] * shingles[None, :].astype(np.uint64) + b[:, None]
+    return vals.min(axis=1)
+
+
+def simhash_from_shingles(shingles: np.ndarray) -> np.uint64:
+    """64-bit SimHash: majority bit-vote over shingle hashes."""
+    if shingles.size == 0:
+        return np.uint64(0)
+    bits = np.unpackbits(shingles.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0)  # (64,)
+    sim_bits = (votes * 2 >= shingles.size).astype(np.uint8)
+    return np.uint64(np.packbits(sim_bits, bitorder="little").view(np.uint64)[0])
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint64 shingle arrays."""
+    if a.size == 0 and b.size == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return float(inter) / float(union) if union else 0.0
+
+
+def to_signed(arr: np.ndarray) -> np.ndarray:
+    """uint64 → int64 bit-cast (Spark LongType carries the same 64 bits)."""
+    return arr.view(np.int64) if arr.dtype == np.uint64 else arr.astype(np.int64)
+
+
+def to_unsigned(arr: np.ndarray) -> np.ndarray:
+    return arr.view(np.uint64) if arr.dtype == np.int64 else arr.astype(np.uint64)

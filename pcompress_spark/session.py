@@ -1,0 +1,101 @@
+"""SparkSession factory.
+
+Local-mode test/bench sessions; on a real cluster the same builder is used
+with master/deploy settings supplied by spark-submit. Iceberg catalog
+configuration is applied when the runtime has the Iceberg connector on the
+classpath (production); the sandbox falls back to parquet checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pcompress_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2048,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the dedup pipeline.
+
+    - AQE on (runtime coalesce, skew-join splitting) — replaces the
+      reference's static index-mode selection (rabin/global/index.c:119-215).
+    - Arrow enabled for pandas-UDF stages.
+    - shuffle_partitions sized to cores in local mode; on a cluster set it
+      to ~2-3x total executor cores via spark-submit conf.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            n = master[len("local[") : -1]
+            shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        else:
+            shuffle_partitions = 200
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+
+    builder = _maybe_configure_iceberg(builder)
+
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _maybe_configure_iceberg(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Attach an Iceberg hadoop catalog when the connector jar is present.
+
+    Production deployments ship `iceberg-spark-runtime` via --packages; the
+    sandbox has no network so we silently skip and the checkpoint layer
+    writes parquet instead (see checkpoint.py).
+    """
+    warehouse = os.environ.get("PCOMPRESS_ICEBERG_WAREHOUSE")
+    if not warehouse:
+        return builder
+    return (
+        builder.config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.ice.type", "hadoop")
+        .config("spark.sql.catalog.ice.warehouse", warehouse)
+    )
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # local-mode JVM keeps the SparkContext singleton; clear it so a new
+    # master (e.g. local[8] -> local[32] in bench scaling runs) takes effect
+    from pyspark import SparkContext
+
+    with SparkContext._lock:  # noqa: SLF001 - sanctioned reset for bench
+        SparkContext._active_spark_context = None

@@ -1,0 +1,55 @@
+"""Golden E2E gate (BASELINE.json north_rule):
+
+- dup-pair recall >= 0.99 vs golden pairs at the reference config
+- cluster assignments exact-match vs golden components
+- emitted edges are precise (endpoints truly co-members)
+"""
+
+import pandas as pd
+
+from pcompress_spark import metrics
+
+
+def test_pair_recall_ge_099(assignments_run, golden_pairs):
+    assignments, _, _ = assignments_run
+    recall = metrics.pair_recall(assignments, golden_pairs)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+
+
+def test_cluster_assignments_exact_match(assignments_run, golden_clusters):
+    assignments, _, _ = assignments_run
+    bad, total = metrics.cluster_exact_match(assignments, golden_clusters)
+    assert bad == 0, f"{bad}/{total} docs assigned to wrong cluster"
+
+
+def test_representative_semantics(assignments_run, golden_clusters):
+    """representative = earliest/min doc_id member (backward-ref semantics)."""
+    assignments, _, _ = assignments_run
+    g = golden_clusters.set_index("url")
+    a = assignments.set_index("url")
+    merged = a.join(g, rsuffix="_g")
+    assert (merged["representative_url"] == merged["representative_url_g"]).all()
+
+
+def test_edge_precision(assignments_run, golden_clusters, spark):
+    _, ckpt, _ = assignments_run
+    edges = pd.read_parquet(f"{ckpt}/edges")
+    prec = metrics.edge_precision(edges, golden_clusters)
+    assert prec >= 0.999, f"edge precision {prec:.4f}"
+
+
+def test_verified_jaccards_match_oracle(assignments_run, golden_pairs, golden_clusters):
+    """Exact-Jaccard verification must agree with the oracle's values."""
+    _, ckpt, _ = assignments_run
+    edges = pd.read_parquet(f"{ckpt}/edges")
+    id2url = dict(zip(golden_clusters["doc_id"], golden_clusters["url"]))
+    edges["url_a"] = edges.apply(
+        lambda r: min(id2url[r["src"]], id2url[r["dst"]]), axis=1
+    )
+    edges["url_b"] = edges.apply(
+        lambda r: max(id2url[r["src"]], id2url[r["dst"]]), axis=1
+    )
+    m = edges.merge(golden_pairs, on=["url_a", "url_b"], suffixes=("_p", "_g"))
+    assert len(m) > 0
+    diffs = (m["jaccard_p"] - m["jaccard_g"]).abs()
+    assert diffs.max() < 1e-12

@@ -1,0 +1,59 @@
+"""Checkpoint/resume semantics (S7): mid-pipeline restart must produce the
+identical final snapshot, and completed stages must be skipped."""
+
+import shutil
+
+import pandas as pd
+
+from pcompress_spark.config import PipelineConfig
+from pcompress_spark.pipeline import DedupPipeline
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def test_resume_after_partial_run_identical(spark, pages_df, assignments_run, tmp_path):
+    first, ckpt_dir, pipe = assignments_run
+
+    # simulate a crash after the candidate stage: wipe everything downstream
+    for stage in ("edges_fuzzy", "edges", "assignments"):
+        shutil.rmtree(f"{ckpt_dir}/{stage}", ignore_errors=True)
+
+    resumed = DedupPipeline(
+        spark, PipelineConfig(), checkpoint_dir=ckpt_dir, resume=True
+    ).run(pages_df)
+    second = resumed.toPandas()
+    pd.testing.assert_frame_equal(_norm(pd.DataFrame(first)), _norm(second))
+
+
+def test_resume_skips_completed_stages(spark, pages_df, assignments_run):
+    _, ckpt_dir, _ = assignments_run
+    import time
+
+    t0 = time.time()
+    DedupPipeline(spark, PipelineConfig(), checkpoint_dir=ckpt_dir, resume=True).run(
+        pages_df
+    )
+    # a fully-checkpointed rerun does no UDF/shuffle work
+    assert time.time() - t0 < 30
+
+
+def test_rerun_from_scratch_deterministic(spark, pages_df, assignments_run, tmp_path):
+    first, _, _ = assignments_run
+    fresh = DedupPipeline(
+        spark, PipelineConfig(), checkpoint_dir=str(tmp_path / "ckpt2"), resume=False
+    ).run(pages_df)
+    pd.testing.assert_frame_equal(
+        _norm(pd.DataFrame(first)), _norm(fresh.toPandas())
+    )
+
+
+def test_lineage_recorded(assignments_run):
+    _, ckpt_dir, pipe = assignments_run
+    lineage = pipe.ckpt.lineage()
+    stages = {r["stage"] for r in lineage}
+    assert {"sigs", "text_groups", "edges_exact", "candidates", "edges",
+            "assignments"} <= stages
+    for r in lineage:
+        assert r["rows"] >= 0 and r["bytes"] > 0 and r["wall_ms"] >= 0
