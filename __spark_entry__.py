@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship near-duplicate clustering over the sf0.001
+               documents table (MinHash-LSH candidates → exact-Jaccard
+               verification → connected components).
+queries()    — one entry per implemented operator family (SURVEY.md §2 +
+               training-data-pipeline extensions); each callable takes
+               (spark, sf_dir) and returns a DataFrame.
+oracle_sql() — DuckDB-equivalent ANSI SQL per query (omitted only for the
+               intentionally-approximate LSH-ANN path).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pcompress_spark import driver_queries as DQ  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cluster assignments for every sf0.001 document, with the
+    earliest-doc representative and member count per cluster."""
+    sf_dir = "/root/testdata/sf0.001"
+    clusters = DQ.q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        clusters.join(sizes, "cluster_id")
+        .withColumn("is_representative", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size", "is_representative")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(DQ.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(DQ.ORACLES)

@@ -1,0 +1,616 @@
+"""Driver-contract queries: one entry per SURVEY.md §2 operator family.
+
+Each function here takes (spark, sf_dir) and returns a DataFrame whose
+columns/values are reproduced exactly by the paired DuckDB oracle SQL in
+ORACLES (same aliases, same arithmetic, same rounding). The correctness
+contract (driver CORRECTNESS_r{N}.json) compares row-count + schema +
+order-insensitive value hash at sf=0.01.
+
+Determinism rules used throughout:
+- integer outputs wherever possible (counts, cents) — double SUMs are
+  order-dependent across engines, integer sums are not;
+- per-row double math is bit-deterministic (IEEE), so raw per-row doubles
+  are safe; cross-row double aggregation is not, and is avoided;
+- cosine similarities are rounded to 6 decimals *before* ranking/threshold
+  so both engines rank identical values;
+- all text shingling for oracle-checked queries is plain character
+  substrings (`substring(text, i, w)`), identical in Spark and DuckDB
+  (corpus is ASCII; byte==char).
+
+Operator coverage map (SURVEY §2 ids in brackets):
+  exact_identity        [J1 J2 A5 W5 F2]   identity hash + earliest-rep
+  ngram_jaccard_pairs   [P1 J4 A6 SO3]     exact shingle Jaccard, all-JVM
+  minhash_lsh_pairs     [A1 J3 J4 P4]      MinHash-LSH candidates + verify
+  simhash_pairs         [A2 J5]            SimHash hamming-ball + verify
+  substring_pairs       [F11 W1 W2]        winnowing anchors + exact span
+  dedup_clusters        [§4.3 J7 W5]       connected components
+  lang_id               [P5 F12]           char-class language heuristic
+  quality_score         [F12 P3]           length/word/punct quality
+  token_counts          [F13-ish]          ws + BPE-ish token accounting
+  doc_fingerprint       [F2 F4]            sha-256 prefix fingerprint
+  embedding_topk        [new: ANN baseline] brute-force cosine top-k
+  embedding_near_dup    [new]              cosine-threshold near-dup pairs
+  embedding_ann_lsh     [new: scale path]  hyperplane-LSH ANN (rows-only)
+  multimodal_decode     [F10/S4 analog]    binary payload decode plumbing
+  scan_filter_project   [S1 P3]            pushdown scan
+  join_agg_revenue      [J2 A4 A5]         broadcast dim join + agg
+  window_rank_orders    [W5 W6]            ranking window + top-k
+  set_ops_parts         [SO1 SO2]          union/anti over key sets
+  events_hourly         [S3 analog]        event-time tumbling-window agg
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pcompress_spark.analysis import embeddings as E
+from pcompress_spark.analysis import multimodal as M
+from pcompress_spark.config import DEFAULT_CONFIG
+from pcompress_spark.functions import text as TX
+from pcompress_spark.functions.shingling import make_lcs_udf, make_sig_udf
+from pcompress_spark.operators import lsh, simhash, substring
+from pcompress_spark.operators.components import connected_components
+
+W16 = 16          # char shingle width (== reference rolling window, SURVEY §7)
+TAU = 0.4         # DELTA_EXTRA verify threshold
+SUB_MIN = 96      # min shared-span chars for the documents table (docs are
+                  # 47-558 chars; the 2048 production default would be vacuous)
+COS_TAU = 0.35    # embedding near-dup threshold (testdata max cos ~0.5)
+TOPK = 5
+
+# substring-channel config scaled to the documents table: winnowing guarantee
+# window+stride-1 = 79 <= SUB_MIN, so every >=96-char shared span is caught
+DOC_CFG = replace(
+    DEFAULT_CONFIG,
+    substring_min_len=SUB_MIN,
+    substring_window=16,
+    substring_stride=64,
+    # short docs move more simhash bits per edit than 8MB segments do —
+    # widen the hamming ball (radius 6, 8 pigeonhole blocks) so the sketch
+    # keeps recall 1 on this table; the production default stays radius 3.
+    simhash_radius=6,
+    simhash_blocks=8,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- shingles
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) — distinct 16-char substring shingles, all JVM-side.
+
+    `array_distinct(transform(sequence(...), i -> substring(text,i,16)))`
+    stays inside whole-stage codegen; the explode feeds the shuffle with
+    (long, 16-char string) rows only — the full text never shuffles.
+    """
+    return (
+        docs.filter(F.length("text") >= W16)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {W16 - 1}),"
+                        f" i -> substring(text, i, {W16}))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+
+
+def _sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None) -> DataFrame:
+    """Exact (inter_cnt, union_cnt, jaccard) per doc pair from shingle rows.
+
+    pairs=None → all co-occurring pairs (complete enumeration via the
+    inverted shingle index, i.e. self-join on g). pairs given → computed
+    only for those candidate pairs (the LSH-restricted path).
+    """
+    sizes = _sizes(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    joined = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    inter = joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter_cnt"))
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_cnt", F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt"))
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.col("inter_cnt").cast("double")
+                / F.col("union_cnt").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        )
+        .select("id_a", "id_b", "inter_cnt", "union_cnt", "jaccard")
+    )
+
+
+_SQL_SHINGLES = f"""
+  d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {W16}),
+  sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {W16}) AS g
+         FROM d, unnest(range(1, length(text) - {W16 - 1} + 1)) t(i)),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+  pairjac AS (SELECT id_a, id_b, inter_cnt,
+                     sa.sz + sb.sz - inter_cnt AS union_cnt,
+                     floor(inter_cnt * 1.0 / (sa.sz + sb.sz - inter_cnt) * 1000000 + 0.5) / 1000000 AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b)
+"""
+
+
+# ---------------------------------------------------------------- queries
+def q_exact_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity dedup [J1/J2]: sha-256 text hash, earliest-doc representative."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.sha2("text", 256).alias("text_sha")
+    )
+    g = d.groupBy("text_sha").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return d.join(g, "text_sha").select("doc_id", "text_sha", "rep_id", "group_size")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs shingle Jaccard >= tau — the complete (oracle-grade)
+    enumeration via inverted shingle index; the correctness anchor every
+    sketch channel is graded against."""
+    sh = _shingle_rows(_docs(spark, sf_dir))
+    return _pair_jaccard(sh, None).filter(F.col("jaccard") >= TAU)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (b=20, r=1) + exact-Jaccard verification.
+
+    Output equals q_ngram_jaccard_pairs when LSH recall is 1 — the oracle
+    *is* the exact pair set, so the driver check certifies recall directly
+    (P[miss] = (1-J)^20 <= 6e-5 at J=0.4).
+    """
+    docs = _docs(spark, sf_dir)
+    sig_udf = make_sig_udf(DOC_CFG)
+    sigs = docs.select("doc_id", "text").withColumn("_s", sig_udf("text")).select(
+        "doc_id",
+        F.col("_s.nshingles").alias("nshingles"),
+        F.col("_s.minhash").alias("minhash"),
+    )
+    cands, _hot = lsh.lsh_candidates(sigs, DOC_CFG)
+    pairs = cands.select("id_a", "id_b").distinct()
+    sh = _shingle_rows(docs)
+    return _pair_jaccard(sh, pairs).filter(F.col("jaccard") >= TAU)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 candidates + exact-Jaccard verification [A2/J5]."""
+    docs = _docs(spark, sf_dir)
+    sig_udf = make_sig_udf(DOC_CFG)
+    sigs = docs.select("doc_id", "text").withColumn("_s", sig_udf("text")).select(
+        "doc_id",
+        F.col("_s.nshingles").alias("nshingles"),
+        F.col("_s.simhash").alias("simhash"),
+    )
+    cands, _hot = simhash.simhash_candidates(sigs, DOC_CFG)
+    pairs = cands.select("id_a", "id_b").distinct()
+    sh = _shingle_rows(docs)
+    return _pair_jaccard(sh, pairs).filter(F.col("jaccard") >= TAU)
+
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs sharing a >=96-char verbatim span: winnowing anchors (guarantee
+    79 chars) -> bucket join -> exact span verification [F11/W1]."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cands, _hot = substring.substring_candidates(docs, DOC_CFG)
+    texts_a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    texts_b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    lcs_udf = make_lcs_udf(DOC_CFG)
+    return (
+        cands.select("id_a", "id_b")
+        .distinct()
+        .join(texts_a, "id_a")
+        .join(texts_b, "id_b")
+        .filter(lcs_udf("text_a", "text_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup edges; every doc labeled
+    with its component min doc_id (earliest-occurrence rep semantics, J7)."""
+    docs = _docs(spark, sf_dir)
+    edges = q_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .select("doc_id", "cluster_id")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic char-class language heuristic [P5/F12]. (The testdata
+    lang column is synthetic noise — the contract here is oracle parity of
+    the heuristic, not label recovery.)"""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.lang_guess(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring [F12]: length band + word-length sanity + punctuation."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_calc"),
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.punct_ratio(t).alias("punct_ratio"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting: whitespace tokens + BPE-ish subword proxy."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("ws_tokens"),
+        F.regexp_count(t, F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit content fingerprint (sha-256 prefix) + shingle cardinality."""
+    d = _docs(spark, sf_dir)
+    sizes = _sizes(_shingle_rows(d))
+    return (
+        d.select("doc_id", F.substring(F.sha2("text", 256), 1, 16).alias("fp"))
+        .join(sizes, "doc_id", "left")
+        .withColumn("shingle_cnt", F.coalesce("sz", F.lit(0)))
+        .select("doc_id", "fp", "shingle_cnt")
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline over the embeddings table."""
+    emb = _emb(spark, sf_dir)
+    return E.brute_force_topk(emb, emb, k=TOPK)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold (exact)."""
+    return E.cosine_pairs_above(_emb(spark, sf_dir), COS_TAU)
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the 100-TB scale path). Approximate by
+    design — no SQL oracle; recall vs brute force is asserted in tests."""
+    return E.lsh_ann_topk(_emb(spark, sf_dir), k=TOPK, bits=4, tables=16)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing (stub features; real mapInPandas)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    kind = (
+        F.when(F.length(F.col("payload")) % 3 == 0, F.lit("image"))
+        .when(F.length(F.col("payload")) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return M.decode_features(d, "doc_id", "payload", kind)
+
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushdown scan [S1/P3]: filter + narrow projection reach the parquet
+    reader (PushedFilters/ReadSchema verified in tests)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+def q_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim join + partial/final agg [J2/A4/A5]: revenue by nation.
+
+    Money is aggregated in integer cents (per-row round, then exact integer
+    sum) — double SUM order-dependence never reaches the output.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window [W5]: top-3 orders per customer by total price."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_set_ops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops [SO1/SO2]: (big parts UNION cheap parts) EXCEPT one brand."""
+    part = _t(spark, sf_dir, "part")
+    s1 = part.filter(F.col("p_size") >= 40).select("p_partkey")
+    s2 = part.filter(F.col("p_retailprice") < 950).select("p_partkey")
+    s3 = part.filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    return s1.union(s2).distinct().subtract(s3)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window agg (batch form of the streaming shape)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("value_cents"))
+    )
+
+
+QUERIES = {
+    "exact_identity": q_exact_identity,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "substring_pairs": q_substring_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "multimodal_decode": q_multimodal_decode,
+    "scan_filter_project": q_scan_filter_project,
+    "join_agg_revenue": q_join_agg_revenue,
+    "window_rank_orders": q_window_rank_orders,
+    "set_ops_parts": q_set_ops_parts,
+    "events_hourly": q_events_hourly,
+}
+
+
+_PAIR_SQL = f"""
+WITH
+{_SQL_SHINGLES}
+SELECT id_a, id_b, inter_cnt, union_cnt, jaccard
+FROM pairjac WHERE jaccard >= {TAU}
+"""
+
+ORACLES = {
+    "exact_identity": """
+WITH d AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
+g AS (SELECT text_sha, min(doc_id) AS rep_id, count(*) AS group_size
+      FROM d GROUP BY text_sha)
+SELECT d.doc_id, d.text_sha, g.rep_id, g.group_size
+FROM d JOIN g USING (text_sha)
+""",
+    "ngram_jaccard_pairs": _PAIR_SQL,
+    # LSH / SimHash channels: the oracle is the EXACT pair set — a value
+    # match certifies sketch recall == 1 at this scale.
+    "minhash_lsh_pairs": _PAIR_SQL,
+    "simhash_pairs": _PAIR_SQL,
+    "substring_pairs": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),
+w AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SUB_MIN}) AS g
+      FROM d, unnest(range(1, length(text) - {SUB_MIN} + 2)) t(i)),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id)
+SELECT id_a, id_b FROM p
+""",
+    "dedup_clusters": f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+pairs AS (SELECT id_a, id_b FROM pairjac WHERE jaccard >= {TAU}),
+e(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a
+)
+SELECT docs.doc_id,
+       least(docs.doc_id, coalesce(min(reach.b), docs.doc_id)) AS cluster_id
+FROM documents docs LEFT JOIN reach ON reach.a = docs.doc_id
+GROUP BY docs.doc_id
+""",
+    "lang_id": """
+SELECT doc_id,
+  CASE
+    WHEN length(text) = 0 THEN 'und'
+    WHEN len(regexp_extract_all(text, '[一-龥]')) * 1.0 / length(text) > 0.25
+      THEN 'zh'
+    WHEN len(regexp_extract_all(text, '(sch|ung|ein|der|zeit|und)')) * 1.0
+           / length(text) > 0.01
+     AND len(regexp_extract_all(text, '(sch|ung|ein|der|zeit|und)')) >
+         len(regexp_extract_all(text, '(eau|oir|eux|ille|vous|mont)'))
+      THEN 'de'
+    WHEN len(regexp_extract_all(text, '(eau|oir|eux|ille|vous|mont)')) * 1.0
+           / length(text) > 0.01
+      THEN 'fr'
+    ELSE 'en'
+  END AS lang_pred
+FROM documents
+""",
+    "quality_score": r"""
+WITH b AS (
+  SELECT doc_id,
+    length(text) AS n_chars_calc,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) END AS n_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(text, '[\.,;:!\?]')) * 1.0 / length(text)
+    END AS punct_ratio
+  FROM documents
+),
+m AS (
+  SELECT *,
+    CASE WHEN n_tokens > 0 THEN n_chars_calc * 1.0 / n_tokens ELSE 0.0
+    END AS avg_word
+  FROM b
+)
+SELECT doc_id, n_chars_calc, n_tokens, punct_ratio,
+  (CASE WHEN n_chars_calc >= 200 AND n_chars_calc <= 50000 THEN 1.0 ELSE 0.3 END) * 0.4
+  + (CASE WHEN avg_word >= 3 AND avg_word <= 12 THEN 1.0 ELSE 0.4 END) * 0.3
+  + (CASE WHEN punct_ratio > 0.001 AND punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END) * 0.3
+  AS quality
+FROM m
+""",
+    "token_counts": r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) END AS ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
+FROM documents
+""",
+    "doc_fingerprint": f"""
+WITH
+{_SQL_SHINGLES}
+SELECT d0.doc_id, substr(sha256(d0.text), 1, 16) AS fp,
+       coalesce(sizes.sz, 0) AS shingle_cnt
+FROM documents d0 LEFT JOIN sizes ON sizes.doc_id = d0.doc_id
+""",
+    "embedding_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    floor((CASE WHEN sqrt(list_dot_product(q.v, q.v)) > 0
+                AND sqrt(list_dot_product(n.v, n.v)) > 0
+          THEN list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+          ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM e q JOIN e n ON q.vec_id <> n.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {TOPK}
+""",
+    "embedding_near_dup": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    floor((CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                AND sqrt(list_dot_product(b.v, b.v)) > 0
+          THEN list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= {COS_TAU}
+""",
+    # embedding_ann_lsh: intentionally no oracle (approximate by design)
+    "multimodal_decode": """
+WITH p AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha_hex
+  FROM documents
+)
+SELECT media_id,
+  CASE WHEN n_bytes % 3 = 0 THEN 'image'
+       WHEN n_bytes % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  n_bytes,
+  substr(sha_hex, 1, 16) AS sha_prefix,
+  CAST(32 + n_bytes % 608 AS INT) AS width,
+  CAST(32 + (n_bytes * 7) % 448 AS INT) AS height,
+  CAST(1 + n_bytes % 16 AS INT) AS n_frames
+FROM p
+""",
+    "scan_filter_project": """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+""",
+    "join_agg_revenue": """
+SELECT n.n_name AS nation,
+  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+    AS BIGINT) AS revenue_cents,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    "window_rank_orders": """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+    "set_ops_parts": """
+(SELECT p_partkey FROM part WHERE p_size >= 40
+ UNION
+ SELECT p_partkey FROM part WHERE p_retailprice < 950)
+EXCEPT
+SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'
+""",
+    "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+""",
+}

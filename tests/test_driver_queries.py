@@ -1,0 +1,92 @@
+"""Driver-contract queries: fast sanity at sf0.001 + ANN recall + plans.
+
+The full Spark-vs-DuckDB oracle comparison (driver's correctness gate)
+lives in scripts/check_oracles.py and runs at sf0.01; these tests keep the
+contract importable, the plans pushdown-clean, and the approximate channel
+measurably close to the exact baseline.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pcompress_spark import driver_queries as DQ  # noqa: E402
+from pcompress_spark.analysis import embeddings as E  # noqa: E402
+from tests.conftest import TESTDATA  # noqa: E402
+
+SF = os.path.join(TESTDATA, "sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF, "documents.parquet")),
+    reason="driver testdata not present",
+)
+
+
+def test_contract_shape():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 15
+    # every oracle key must have a query
+    assert set(oracles) <= set(qs)
+    # approximate ANN is the only intentionally oracle-less query
+    assert set(qs) - set(oracles) == {"embedding_ann_lsh"}
+
+
+def test_minhash_lsh_equals_exact_pairs(spark):
+    """LSH recall == 1 at this scale: sketch pair set matches brute force."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DQ.q_ngram_jaccard_pairs(spark, SF).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b) for r in DQ.q_minhash_lsh_pairs(spark, SF).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Multi-table hyperplane-LSH ANN keeps >=80% top-5 recall on the
+    test embeddings (4 bits x 16 tables — the recall/cost point is config,
+    the contract is that recall is measured, never assumed)."""
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    exact = E.brute_force_topk(emb, emb, k=5).collect()
+    approx = E.lsh_ann_topk(emb, k=5, bits=4, tables=16).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"ANN recall {recall:.3f}"
+
+
+def test_scan_filter_pushdown_plan(spark):
+    """Filter + projection must reach the parquet scan."""
+    plan = DQ.q_scan_filter_project(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # projection pruning: scanned schema must not include unused columns
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_shipdate" not in read_schema
+
+
+def test_join_agg_uses_broadcast(spark):
+    plan = DQ.q_join_agg_revenue(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_multimodal_decode_deterministic(spark):
+    a = DQ.q_multimodal_decode(spark, SF).orderBy("media_id").collect()
+    b = DQ.q_multimodal_decode(spark, SF).orderBy("media_id").collect()
+    assert a == b
+    assert all(r.n_bytes > 0 and len(r.sha_prefix) == 16 for r in a[:20])
+    assert {r.kind for r in a} <= {"image", "audio", "video"}
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == ["doc_id", "cluster_id", "cluster_size", "is_representative"]
+    n = df.count()
+    assert n == 500
