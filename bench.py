@@ -1,0 +1,136 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32):
+
+  dedup_minhash_lsh   MinHash-LSH candidates + exact-Jaccard verify (documents)
+  dedup_simhash       SimHash hamming-ball + verify
+  dedup_substring     winnowing anchors + exact-span verify
+  dedup_clusters      LSH edges -> connected components labels
+  embedding_topk      brute-force cosine top-5 (all vectors)
+  embedding_ann_lsh   multi-table hyperplane-LSH ANN top-5
+  join_agg_revenue    lineitem⋈orders⋈customer⋈nation revenue rollup
+  pipeline_pages      END-TO-END dedup pipeline (sig -> LSH/simhash/winnow ->
+                      verify -> CC) on synthetic Common-Crawl-style pages
+                      (n scales with sf; the flagship 100TB-shaped workload)
+
+Metric: total seconds over headline queries; `queries` has the breakdown;
+`extra.pages_docs_per_sec` is the flagship throughput (docs/sec).
+
+Usage: python bench.py [--pipeline-only] [--docs N] [--json-out PATH]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pcompress_spark import driver_queries as DQ  # noqa: E402
+from pcompress_spark.config import PipelineConfig  # noqa: E402
+from pcompress_spark.datagen import gen_pages_spark  # noqa: E402
+from pcompress_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_pipeline_pages(spark, n_docs: int, partitions: int) -> int:
+    """Flagship workload: the production DedupPipeline (checkpointed,
+    resumable — the same code path the driver and the golden tests grade)
+    over freshly generated pages, cold checkpoints."""
+    import shutil
+    import tempfile
+
+    from pcompress_spark.pipeline import DedupPipeline
+
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        pages = gen_pages_spark(spark, n_docs, partitions=partitions)
+        pipe = DedupPipeline(
+            spark, PipelineConfig(), checkpoint_dir=ckpt, resume=False
+        )
+        return pipe.run(pages).count()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pipeline_only = "--pipeline-only" in sys.argv
+    n_docs = None
+    if "--docs" in sys.argv:
+        n_docs = int(sys.argv[sys.argv.index("--docs") + 1])
+    json_out = None
+    if "--json-out" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json-out") + 1]
+
+    sf = _sf_of(sf_dir)
+    if n_docs is None:
+        # flagship corpus scales with sf: sf0.1 -> 60k pages
+        n_docs = max(2000, int(600_000 * sf)) if sf > 0 else 20000
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    # warm the JVM/codegen so per-query timings measure the engine
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    if not pipeline_only:
+        headline = [
+            ("dedup_minhash_lsh", DQ.q_minhash_lsh_pairs),
+            ("dedup_simhash", DQ.q_simhash_pairs),
+            ("dedup_substring", DQ.q_substring_pairs),
+            ("dedup_clusters", DQ.q_dedup_clusters),
+            ("embedding_topk", DQ.q_embedding_topk),
+            ("embedding_ann_lsh", DQ.q_embedding_ann_lsh),
+            ("join_agg_revenue", DQ.q_join_agg_revenue),
+        ]
+        for name, fn in headline:
+            timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    rows = timed(
+        "pipeline_pages",
+        lambda: run_pipeline_pages(spark, n_docs, partitions=max(cpus * 2, 16)),
+    )
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline dedup+ann+relational suite, total seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": {
+            "pages_docs": n_docs,
+            "pages_rows_out": rows,
+            "pages_docs_per_sec": round(n_docs / timings["pipeline_pages"], 1),
+            "cpus": cpus,
+        },
+    }
+    line = json.dumps(result)
+    print(line)
+    if json_out:
+        with open(json_out, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

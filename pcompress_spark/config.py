@@ -41,6 +41,11 @@ class PipelineConfig:
     salt_buckets: int = 16           # salt factor for hot LSH bands
     max_bucket_docs: int = 2000      # cap on docs per band bucket (pair explosion
                                      # guard; drops are logged, never silent)
+    verify_degree_cap: int = 64      # max verified candidate neighbors per doc
+                                     # (top-D by minhash overlap). A clique of m
+                                     # boilerplate docs yields O(m*D) verified
+                                     # edges instead of m^2/2 while staying one
+                                     # connected cluster; drops are logged.
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 2048     # arrow maxRecordsPerBatch for wide arrays
 

@@ -123,13 +123,28 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None) -> DataFrame:
     only for those candidate pairs (the LSH-restricted path).
     """
     sizes = _sizes(sh)
-    a, b = sh.alias("a"), sh.alias("b")
-    joined = a.join(
-        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    inter = joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter_cnt"))
-    if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    if pairs is None:
+        # complete enumeration: inverted-index self-join (oracle-grade;
+        # O(sum bucket^2) — only for ground-truth computation)
+        a, b = sh.alias("a"), sh.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        inter = joined.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("inter_cnt")
+        )
+    else:
+        # candidate-restricted: cost is O(|candidates| * shingles/doc) —
+        # the scale path; shingles join on composite (doc_id, g) keys
+        a = sh.select(F.col("doc_id").alias("id_a"), "g")
+        b = sh.select(F.col("doc_id").alias("id_b"), "g")
+        inter = (
+            pairs.join(a, "id_a")
+            .join(b, ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter_cnt"))
+        )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (

@@ -49,54 +49,65 @@ def shingle_hashes(text: str, width: int = 16) -> np.ndarray:
     (rabin_dedup.c:500-510).
     """
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-    n = b.size
-    if n < width:
+    if b.size < width:
         return np.empty(0, dtype=np.uint64)
-    # sliding windows (n-width+1, width) without copying
-    windows = np.lib.stride_tricks.sliding_window_view(b, width)
-    h = _poly_window_hash(windows)
-    h = _splitmix64(h)
+    h = _splitmix64(window_hashes_all(b, width))
     return np.unique(h)
 
 
-def _poly_powers(width: int) -> np.ndarray:
-    """M^(width-1-i) mod 2^64 for i in [0,width) — python ints avoid
-    numpy scalar-overflow warnings (wraparound is intended)."""
-    powers, acc, m = [], 1, int(_MULT)
-    for _ in range(width):
-        powers.append(acc)
-        acc = (acc * m) & 0xFFFFFFFFFFFFFFFF
-    powers.reverse()
-    return np.array(powers, dtype=np.uint64)
-
-
-_POWER_CACHE: dict[int, np.ndarray] = {}
-
-
-def _poly_window_hash(windows: np.ndarray) -> np.ndarray:
-    """uint64 polynomial hash of each row of a (n, width) byte matrix."""
-    width = windows.shape[1]
-    powers = _POWER_CACHE.get(width)
-    if powers is None:
-        powers = _POWER_CACHE[width] = _poly_powers(width)
-    with np.errstate(over="ignore"):
-        return windows.astype(np.uint64) @ powers
+# modular inverse of the (odd) multiplier mod 2^64 — lets the polynomial
+# window hash roll in O(n) total instead of O(n*width)
+_MULT_INV = np.uint64(pow(int(_MULT), -1, 1 << 64))
 
 
 def window_hashes_all(data: bytes | np.ndarray, width: int) -> np.ndarray:
-    """Per-offset (NOT uniqued) window hashes of a byte string.
+    """Per-offset (NOT uniqued) polynomial window hashes of a byte string.
 
-    Used by the substring channel (winnowing anchors) and the oracle's
-    exact common-substring check. Content-defined: identical spans produce
+    H(i) = sum_{t<width} b[i+t] * M^(width-1-t)  (mod 2^64), computed for
+    every offset in O(n) via prefix sums in the "divided by M^j" domain:
+    H(i) = M^(width-1+i) * (C[i+width] - C[i]) with C = cumsum(b[j]*Minv^j).
+    All uint64 wraparound arithmetic — exact, and identical to the naive
+    per-window evaluation.
+
+    Used by the substring channel (winnowing anchors) and the exact
+    common-substring check. Content-defined: identical spans produce
     identical hash runs regardless of their offset in the doc — the same
     property the reference gets from its Rabin rolling window
     (rabin/rabin_dedup.c:620-666).
     """
     b = np.frombuffer(data, dtype=np.uint8) if isinstance(data, bytes) else data
-    if b.size < width:
+    n = b.size
+    if n < width:
         return np.empty(0, dtype=np.uint64)
-    windows = np.lib.stride_tricks.sliding_window_view(b, width)
-    return _poly_window_hash(windows)
+    with np.errstate(over="ignore"):
+        minv_pows = np.ones(n, dtype=np.uint64)
+        minv_pows[1:] = _MULT_INV
+        np.cumprod(minv_pows, out=minv_pows)          # Minv^j
+        c = b.astype(np.uint64) * minv_pows
+        np.cumsum(c, out=c)                           # C[j+1] (inclusive)
+        diff = c[width - 1 :].copy()                  # C[i+width]-C[i]
+        diff[1:] -= c[: n - width]
+        m_pows = np.empty(n - width + 1, dtype=np.uint64)
+        m_pows[0] = _pow_mult(width - 1)
+        m_pows[1:] = _MULT
+        np.cumprod(m_pows, out=m_pows)                # M^(width-1+i)
+        return m_pows * diff
+
+
+def _pow_mult(e: int) -> np.uint64:
+    return np.uint64(pow(int(_MULT), e, 1 << 64))
+
+
+def _poly_window_hash(windows: np.ndarray) -> np.ndarray:
+    """Reference (naive) per-window hash of a (n, width) byte matrix —
+    kept for tests asserting the rolling form is identical."""
+    width = windows.shape[1]
+    powers = np.array(
+        [pow(int(_MULT), width - 1 - i, 1 << 64) for i in range(width)],
+        dtype=np.uint64,
+    )
+    with np.errstate(over="ignore"):
+        return windows.astype(np.uint64) @ powers
 
 
 def _sliding_min(h: np.ndarray, s: int) -> np.ndarray:

@@ -61,6 +61,22 @@ def make_sig_udf(cfg: PipelineConfig):
     return sig_udf
 
 
+def make_shingle_hashes_udf(cfg: PipelineConfig):
+    """pandas UDF: text -> array<long> of distinct hashed byte-window
+    shingles (the exact sets the golden oracle uses). Vectorized numpy
+    rolling hash — ~0.5ms/doc vs ~50ms/doc for the equivalent JVM
+    higher-order-function expression (per-element lambda + allocation)."""
+    width = cfg.shingle_width
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingles_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [H.to_signed(H.shingle_hashes(t or "", width)) for t in texts]
+        )
+
+    return shingles_udf
+
+
 def make_jaccard_udf(cfg: PipelineConfig):
     """pandas UDF: (text_a, text_b) -> exact Jaccard on shingle sets.
 

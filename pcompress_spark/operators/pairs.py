@@ -34,6 +34,9 @@ def bucket_pairs(
     that exceeded `cap` and were star-connected instead of all-paired:
     (key_cols…, n_docs).
     """
+    # the bucket frame is referenced three times (stats, all-pairs self-join
+    # sides) — persist so any upstream Python-UDF stage runs exactly once
+    buckets = buckets.persist()
     stats = buckets.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
     )

