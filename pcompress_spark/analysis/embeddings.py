@@ -53,6 +53,32 @@ def cosine_expr(a, b):
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def _dot_expr(a, b):
+    """Left-to-right fold dot product (same summation order everywhere)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm_frame(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str):
+    """(id, cast-to-double vector, norm) — persisted so the cast and the
+    norm fold run once per vector, not once per joined pair (a per-pair
+    array-expression re-evaluation is the dominant cost of a naive
+    cosine cross join: O(pairs*dim) interpreted lambda steps)."""
+    out = df.select(
+        F.col("__id").alias(id_alias), F.col("__v").alias(vec_alias)
+    ).withColumn(norm_alias, F.sqrt(_dot_expr(F.col(vec_alias), F.col(vec_alias))))
+    return out.persist()
+
+
+def _cos_from_parts(va, vb, na, nb):
+    """cosine given precomputed norms: the dot fold runs once per pair and
+    the value is bit-identical to cosine_expr (same fold order)."""
+    return F.when((na > 0) & (nb > 0), _dot_expr(va, vb) / (na * nb)).otherwise(
+        F.lit(0.0)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,15 +95,28 @@ def brute_force_topk(
     sims are rounded before ranking so the ordering is reproducible across
     engines and partitionings.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    q = _norm_frame(
+        queries.select(
+            F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+        ),
+        "query_id", "qv", "qn",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    c = _norm_frame(
+        corpus.select(
+            F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+        ),
+        "neighbor_id", "cv", "cn",
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", _round6(cosine_expr(F.col("qv"), F.col("cv"))))
+        .withColumn(
+            "cos_sim",
+            _round6(
+                _cos_from_parts(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                )
+            ),
+        )
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -156,16 +195,20 @@ def lsh_ann_topk(
         .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
         .distinct()
     )
-    vecs_q = corpus.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    base = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     )
-    vecs_n = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("nv")
-    )
+    vecs_q = _norm_frame(base, "query_id", "qv", "qn")
+    vecs_n = _norm_frame(base, "neighbor_id", "nv", "nn")
     scored = (
         cands.join(vecs_q, "query_id")
         .join(vecs_n, "neighbor_id")
-        .withColumn("cos_sim", _round6(cosine_expr(F.col("qv"), F.col("nv"))))
+        .withColumn(
+            "cos_sim",
+            _round6(
+                _cos_from_parts(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
+            ),
+        )
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -193,13 +236,19 @@ def cosine_pairs_above(
     """All pairs (id_a < id_b) with cosine >= threshold — embedding
     near-duplicate detection. Exact; at scale run it per LSH bucket
     (`lsh_ann_topk` plumbing) instead of the full cross join."""
-    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    a, b = c.alias("a"), c.alias("b")
+    base = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    )
+    a = _norm_frame(base, "id_a", "va", "na")
+    b = _norm_frame(base, "id_b", "vb", "nb")
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cos_sim", _round6(cosine_expr(F.col("a.v"), F.col("b.v"))))
-        .filter(F.col("cos_sim") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim"
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            _round6(
+                _cos_from_parts(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            ),
         )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )

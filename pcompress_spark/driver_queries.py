@@ -145,6 +145,7 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None) -> DataFrame:
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("inter_cnt"))
         )
+        # (retained for reference; the hot queries use _pair_jaccard_arrays)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -161,6 +162,53 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None) -> DataFrame:
             )
             / F.lit(1000000.0),
         )
+        .select("id_a", "id_b", "inter_cnt", "union_cnt", "jaccard")
+    )
+
+
+def _pair_jaccard_arrays(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Candidate-restricted exact Jaccard via per-doc shingle-hash arrays +
+    codegen array_intersect — the verify-operator shape (operators/verify).
+
+    Counts over hashed byte windows equal counts over the windows
+    themselves (injectivity; corpus is ASCII so byte==char), so the output
+    matches the substring-based DuckDB oracle exactly.
+    """
+    from pcompress_spark.functions.shingling import make_shingle_hashes_udf
+
+    sh_udf = make_shingle_hashes_udf(DOC_CFG)
+    arr = (
+        docs.filter(F.length("text") >= W16)
+        .select("doc_id", sh_udf("text").alias("sh"))
+        .persist()
+    )
+    a = arr.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    ).hint("shuffle_hash")
+    b = arr.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    ).hint("shuffle_hash")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "inter_cnt", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "union_cnt",
+            (F.size("sh_a") + F.size("sh_b")).cast("long") - F.col("inter_cnt"),
+        )
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.col("inter_cnt").cast("double")
+                / F.col("union_cnt").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        )
+        .filter(F.col("jaccard") >= TAU)
         .select("id_a", "id_b", "inter_cnt", "union_cnt", "jaccard")
     )
 
@@ -218,8 +266,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands, _hot = lsh.lsh_candidates(sigs, DOC_CFG)
     pairs = cands.select("id_a", "id_b").distinct()
-    sh = _shingle_rows(docs)
-    return _pair_jaccard(sh, pairs).filter(F.col("jaccard") >= TAU)
+    return _pair_jaccard_arrays(docs, pairs)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,8 +280,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands, _hot = simhash.simhash_candidates(sigs, DOC_CFG)
     pairs = cands.select("id_a", "id_b").distinct()
-    sh = _shingle_rows(docs)
-    return _pair_jaccard(sh, pairs).filter(F.col("jaccard") >= TAU)
+    return _pair_jaccard_arrays(docs, pairs)
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

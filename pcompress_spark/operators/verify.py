@@ -91,11 +91,12 @@ def prefilter_candidates(
 def cap_candidate_degree(
     candidates: DataFrame, cap: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Keep at most `cap` candidate pairs per document on each side, ranked
-    by minhash overlap (desc) then partner id — the per-node analog of the
-    bucket cap. A boilerplate clique of m docs drops from m²/2 verified
-    pairs to O(m·cap) while every member keeps its strongest links, so the
-    cluster stays connected for CC. Returns (kept, drop_log(doc_id,
+    """Keep a pair when EITHER endpoint ranks it among its own top-`cap`
+    candidates (by minhash overlap desc, then partner id) — the per-node
+    analog of the bucket cap. A boilerplate clique of m docs drops from
+    m²/2 verified pairs to <= 2·cap·m while every doc retains its
+    min(cap, degree) strongest links, so uniform cliques stay one
+    connected component for CC. Returns (kept, drop_log(doc_id,
     n_dropped)); drops are logged, never silent.
     """
     from pyspark.sql import Window
@@ -106,11 +107,11 @@ def cap_candidate_degree(
     ranked = candidates.withColumn("_ra", F.row_number().over(wa)).withColumn(
         "_rb", F.row_number().over(wb)
     )
-    kept = ranked.filter((F.col("_ra") <= cap) & (F.col("_rb") <= cap)).drop(
+    kept = ranked.filter((F.col("_ra") <= cap) | (F.col("_rb") <= cap)).drop(
         "_ra", "_rb"
     )
     dropped = (
-        ranked.filter((F.col("_ra") > cap) | (F.col("_rb") > cap))
+        ranked.filter((F.col("_ra") > cap) & (F.col("_rb") > cap))
         .select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dropped"))

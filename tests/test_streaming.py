@@ -1,0 +1,36 @@
+"""Streaming ingestion: cross-batch identity dedup via the seen index."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pcompress_spark import datagen  # noqa: E402
+from pcompress_spark.streaming import ingest  # noqa: E402
+
+
+def test_stream_ingest_dedups_across_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    seen = str(tmp_path / "seen")
+    ckpt1 = str(tmp_path / "ck1")
+    ckpt2 = str(tmp_path / "ck2")
+
+    # batch 1: docs [0, 1000) — includes the exact-dup class [550, 700)
+    pdf1 = datagen.gen_pages_pandas(1000)
+    spark.createDataFrame(pdf1).write.mode("overwrite").parquet(landing)
+    q = ingest.run_ingest(spark, landing, seen, ckpt1)
+    q.awaitTermination(120)
+    first_new = sum(n for n, _ in q._merge_stats)
+    assert first_new == spark.read.parquet(seen).count()
+    # exact-dup class shares text with a base doc -> fewer seen than docs
+    assert first_new < 1000
+
+    # batch 2: re-deliver the same docs plus fresh ones -> only fresh texts land
+    pdf2 = datagen.gen_pages_pandas(100, start=2000)
+    spark.createDataFrame(pdf2).write.mode("append").parquet(landing)
+    q2 = ingest.run_ingest(spark, landing, seen, ckpt2)
+    q2.awaitTermination(120)
+    seen_df = spark.read.parquet(seen)
+    n_seen = seen_df.count()
+    assert n_seen == seen_df.select("text_sha").distinct().count()
+    assert first_new < n_seen <= first_new + 100
