@@ -79,18 +79,19 @@ def main() -> None:
         # flagship corpus scales with sf: sf0.1 -> 60k pages
         n_docs = max(2000, int(600_000 * sf)) if sf > 0 else 20000
 
-    spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
-    )
+    spark = get_spark("bench", master=f"local[{cpus}]")
     # warm the JVM/codegen so per-query timings measure the engine
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
 
+    from pcompress_spark.cache import release_all
+
     def timed(name, fn):
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        release_all()
         return out
 
     if not pipeline_only:

@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+
+from pcompress_spark.cache import tracked_persist
 from pyspark.sql import types as T
 
 
@@ -68,7 +70,7 @@ def _norm_frame(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str):
     out = df.select(
         F.col("__id").alias(id_alias), F.col("__v").alias(vec_alias)
     ).withColumn(norm_alias, F.sqrt(_dot_expr(F.col(vec_alias), F.col(vec_alias))))
-    return out.persist()
+    return tracked_persist(out)
 
 
 def _cos_from_parts(va, vb, na, nb):

@@ -177,10 +177,11 @@ def _pair_jaccard_arrays(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     from pcompress_spark.functions.shingling import make_shingle_hashes_udf
 
     sh_udf = make_shingle_hashes_udf(DOC_CFG)
-    arr = (
+    from pcompress_spark.cache import tracked_persist
+
+    arr = tracked_persist(
         docs.filter(F.length("text") >= W16)
         .select("doc_id", sh_udf("text").alias("sh"))
-        .persist()
     )
     a = arr.select(
         F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")

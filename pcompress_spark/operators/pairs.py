@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pcompress_spark.cache import tracked_persist
+
 
 def bucket_pairs(
     buckets: DataFrame,
@@ -36,7 +38,7 @@ def bucket_pairs(
     """
     # the bucket frame is referenced three times (stats, all-pairs self-join
     # sides) — persist so any upstream Python-UDF stage runs exactly once
-    buckets = buckets.persist()
+    buckets = tracked_persist(buckets)
     stats = buckets.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
     )

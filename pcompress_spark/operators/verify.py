@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pcompress_spark.cache import tracked_persist
 from pcompress_spark.config import PipelineConfig
 from pcompress_spark.functions.shingling import make_lcs_udf
 
@@ -149,10 +150,9 @@ def pair_jaccard(
         .distinct()
     )
     shingles_udf = make_shingle_hashes_udf(cfg)
-    sh_arr = (
+    sh_arr = tracked_persist(
         reps_with_text.join(docs_in, "doc_id", "left_semi")
         .select("doc_id", shingles_udf("text").alias("sh"))
-        .persist()
     )
     # shuffle_hash hints: the array sides have no stats (UDF output), and
     # a mis-estimated broadcast of a 100s-of-MB array table stalls the
@@ -197,7 +197,7 @@ def verify_edges(
                 narrow surviving subset only)
     """
     # persist: jac feeds both the near branch and the substring pre-filter
-    jac = pair_jaccard(candidates, reps_with_text, cfg).persist()
+    jac = tracked_persist(pair_jaccard(candidates, reps_with_text, cfg))
     near = jac.filter(F.col("jaccard") >= cfg.tau_extra).select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pcompress_spark.cache import release_all, tracked_persist
 from pcompress_spark.config import DEFAULT_CONFIG, PipelineConfig
 from pcompress_spark.checkpoint import CheckpointManager
 from pcompress_spark.operators import exact, lsh, simhash, substring, verify
@@ -74,7 +75,11 @@ class DedupPipeline:
             lsh_c, lsh_hot = lsh.lsh_candidates(reps, cfg)
             sim_c, sim_hot = simhash.simhash_candidates(reps, cfg)
             win_c, win_hot = substring.substring_candidates(reps_text, cfg)
-            lsh_c, sim_c, win_c = lsh_c.persist(), sim_c.persist(), win_c.persist()
+            lsh_c, sim_c, win_c = (
+                tracked_persist(lsh_c),
+                tracked_persist(sim_c),
+                tracked_persist(win_c),
+            )
             self._log_hot("lsh", lsh_hot)
             self._log_hot("simhash", sim_hot)
             self._log_hot("winnow", win_hot)
@@ -86,23 +91,33 @@ class DedupPipeline:
             self._log_hot("degree_cap", dropped)
             return capped
 
-        cands = ckpt.materialize("candidates", _candidates)
+        try:
+            cands = ckpt.materialize("candidates", _candidates)
+            # channel/bucket caches are dead once candidates hit storage;
+            # free them before the array-heavy verify stage needs the memory
+            release_all()
 
-        edges_fuzzy = ckpt.materialize(
-            "edges_fuzzy",
-            lambda: verify.verify_edges(cands, reps_text, cfg),
-        )
+            edges_fuzzy = ckpt.materialize(
+                "edges_fuzzy",
+                lambda: verify.verify_edges(cands, reps_text, cfg),
+            )
+            release_all()
 
-        edges = ckpt.materialize(
-            "edges",
-            lambda: exact_e.unionByName(
-                edges_fuzzy.select("src", "dst", "jaccard", "kind")
-            ),
-        )
+            edges = ckpt.materialize(
+                "edges",
+                lambda: exact_e.unionByName(
+                    edges_fuzzy.select("src", "dst", "jaccard", "kind")
+                ),
+            )
 
-        assignments = ckpt.materialize(
-            "assignments", lambda: self._assignments(sigs, edges)
-        )
+            assignments = ckpt.materialize(
+                "assignments", lambda: self._assignments(sigs, edges)
+            )
+        finally:
+            # every stage re-reads from its checkpoint, so intermediate
+            # caches are dead weight once materialized — release them or
+            # back-to-back runs in one session degrade (cache thrash)
+            release_all()
         return assignments
 
     # ---------------------------------------------------------- assignments

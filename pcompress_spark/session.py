@@ -34,11 +34,16 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
+        # over-partition by default and let AQE coalesce: AQE can merge
+        # small partitions but can never split big ones, and wide array
+        # rows (shingle signatures) blow past the JVM's comfort zone fast —
+        # 32 threads x 350MB tasks is a GC stall, 128 x 90MB tasks is not.
         if master.startswith("local["):
             n = master[len("local[") : -1]
-            shuffle_partitions = 32 if n == "*" else max(8, int(n))
+            cores = 32 if n == "*" else max(1, int(n))
+            shuffle_partitions = max(4 * cores, 16)
         else:
-            shuffle_partitions = 200
+            shuffle_partitions = 512
 
     builder = (
         SparkSession.builder.master(master)
@@ -47,6 +52,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # serialized-size target per post-shuffle partition; array-heavy
+        # rows decompress several-fold, so keep it well under the default
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
