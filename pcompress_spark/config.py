@@ -38,7 +38,11 @@ class PipelineConfig:
                                      # rabin_dedup.c:500-510)
 
     # --- scale/skew knobs ---
-    salt_buckets: int = 16           # salt factor for hot LSH bands
+    salt_buckets: int = 16           # salt groups g for the triangle split of
+                                     # hot buckets (operators/pairs.py): a
+                                     # bucket of m docs spreads its m²/2 pairs
+                                     # over g(g+1)/2 join-key cells
+    salt_min: int = 256              # buckets larger than this get salted
     max_bucket_docs: int = 2000      # cap on docs per band bucket (pair explosion
                                      # guard; drops are logged, never silent)
     verify_degree_cap: int = 64      # max verified candidate neighbors per doc

@@ -286,16 +286,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs sharing a >=96-char verbatim span: winnowing anchors (guarantee
-    79 chars) -> bucket join -> exact span verification [F11/W1]."""
+    79 chars) -> bucket join -> JVM window-hash screen -> byte-confirm
+    [F11/W1]. Per-doc window hashes are computed once; the per-pair work is
+    a codegen array_intersect, and the Python byte-confirmation runs only
+    on hash hits."""
+    from pcompress_spark.operators.verify import substring_screen
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     cands, _hot = substring.substring_candidates(docs, DOC_CFG)
+    hits = substring_screen(cands.select("id_a", "id_b").distinct(), docs, DOC_CFG)
     texts_a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     texts_b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     lcs_udf = make_lcs_udf(DOC_CFG)
     return (
-        cands.select("id_a", "id_b")
-        .distinct()
-        .join(texts_a, "id_a")
+        hits.join(texts_a, "id_a")
         .join(texts_b, "id_b")
         .filter(lcs_udf("text_a", "text_b"))
         .select("id_a", "id_b")

@@ -121,6 +121,34 @@ def make_lcs_udf(cfg: PipelineConfig):
     return lcs_udf
 
 
+def make_window_hashes_udf(cfg: PipelineConfig):
+    """pandas UDF: text -> array<long> of distinct `substring_min_len`-byte
+    rolling window hashes (every offset).
+
+    Precomputed ONCE per doc so candidate pairs can be screened JVM-side
+    with `array_intersect` — two docs share a >= min_len verbatim span iff
+    their window-hash sets intersect (modulo 2^-64 collisions, which the
+    byte-confirming lcs UDF then rejects). This replaces re-hashing both
+    full texts once per candidate pair (the round-1 hot spot).
+    """
+    min_len = cfg.substring_min_len
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def window_hashes_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                H.to_signed(
+                    np.unique(
+                        H.window_hashes_all((t or "").encode("utf-8"), min_len)
+                    )
+                )
+                for t in texts
+            ]
+        )
+
+    return window_hashes_udf
+
+
 def make_anchors_udf(cfg: PipelineConfig):
     """pandas UDF: text -> array<long> winnowing anchors (substring channel)."""
     width = cfg.substring_window

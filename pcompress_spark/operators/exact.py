@@ -22,12 +22,18 @@ from pcompress_spark.functions.shingling import make_sig_udf
 
 
 def build_sigs(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """pages -> sigs(url, doc_id, text_sha, lang, nshingles, minhash, simhash).
+    """pages -> sigs(url, doc_id, text_sha, lang, text, nshingles, minhash,
+    simhash).
 
     doc_id = xxhash64(url): stable across runs/partitionings/cluster sizes
     (SURVEY §7 determinism rule — never monotonically_increasing_id).
     text_sha is the hex sha2-256 (DuckDB-comparable; reference uses the raw
     digest, dedupe_config.h:36).
+
+    `text` rides along into the sigs checkpoint: the source scan (or
+    generator) runs exactly once per pipeline, and every later stage that
+    needs text (winnow anchors, verification) reads it back from columnar
+    storage with projection pushdown instead of re-scanning the source.
     """
     sig_udf = make_sig_udf(cfg)
     return (
@@ -40,6 +46,7 @@ def build_sigs(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
             "doc_id",
             "text_sha",
             "lang",
+            "text",
             F.col("_sig.nshingles").alias("nshingles"),
             F.col("_sig.minhash").alias("minhash"),
             F.col("_sig.simhash").alias("simhash"),

@@ -55,7 +55,11 @@ def lsh_candidates(
     """
     bands = band_explode(reps, cfg)
     pairs, hot = bucket_pairs(
-        bands, ["band_idx", "band_hash"], cap=cfg.max_bucket_docs
+        bands,
+        ["band_idx", "band_hash"],
+        cap=cfg.max_bucket_docs,
+        salt_min=cfg.salt_min,
+        salt_groups=cfg.salt_buckets,
     )
     cands = pairs.distinct().withColumn("channel", F.lit("minhash"))
     return cands, hot

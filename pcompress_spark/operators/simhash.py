@@ -47,7 +47,11 @@ def simhash_candidates(
     """(candidates(id_a, id_b, channel='simhash'), hot_bucket_log)."""
     blocks = simhash_blocks(reps, cfg)
     pairs, hot = bucket_pairs(
-        blocks, ["blk_idx", "blk_val"], cap=cfg.max_bucket_docs
+        blocks,
+        ["blk_idx", "blk_val"],
+        cap=cfg.max_bucket_docs,
+        salt_min=cfg.salt_min,
+        salt_groups=cfg.salt_buckets,
     )
     pairs = pairs.distinct()
     sims = reps.select("doc_id", "simhash")

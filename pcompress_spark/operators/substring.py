@@ -38,5 +38,11 @@ def substring_candidates(
 ) -> tuple[DataFrame, DataFrame]:
     """(candidates(id_a, id_b, channel='winnow'), hot_bucket_log)."""
     anchors = anchor_explode(reps_with_text, cfg)
-    pairs, hot = bucket_pairs(anchors, ["anchor"], cap=cfg.max_bucket_docs)
+    pairs, hot = bucket_pairs(
+        anchors,
+        ["anchor"],
+        cap=cfg.max_bucket_docs,
+        salt_min=cfg.salt_min,
+        salt_groups=cfg.salt_buckets,
+    )
     return pairs.distinct().withColumn("channel", F.lit("winnow")), hot

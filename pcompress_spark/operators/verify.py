@@ -9,11 +9,11 @@ shuffle, and no Python runs in the O(|candidates|) hot path. Winnow-channel
 pairs that fail the Jaccard threshold get an exact >=L common-substring
 check (vectorized pandas UDF) before being admitted as `substring` edges.
 
-Shingle sets here are hashed 16-byte windows of the utf-8 text
-(`xxhash64(substring(encode(text), i, w))`); Jaccard over any injective
-window fingerprint equals Jaccard over the windows themselves, so this
-matches the golden oracle's polynomial-hash shingles exactly (modulo
-2^-64 collisions).
+Shingle sets here are hashed 16-byte windows of the utf-8 text (the
+vectorized numpy polynomial rolling hash in functions/hashing.py — the
+same function the golden oracle uses, so the sets are identical by
+construction); Jaccard over any injective window fingerprint equals
+Jaccard over the windows themselves (modulo 2^-64 collisions).
 
 Edge kinds (golden fixture vocabulary):
   exact      — identical text (emitted by operators/exact.py, J == 1)
@@ -60,7 +60,7 @@ def attach_texts(
 
 def prefilter_candidates(
     candidates: DataFrame, reps: DataFrame, min_matches: int = 3
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Signature-level pre-filter before exact verification — the
     distributed analog of the reference probing the full checksum before
     memcmp (rabin_dedup.c:1132-1180).
@@ -73,20 +73,29 @@ def prefilter_candidates(
     τ=0.4 boundary: P[Binomial(20, 0.4) < 3] ≈ 0.4%, and such pairs are
     usually also proposed by the simhash/winnow channels, which bypass
     this filter (their own verification is already strong).
+
+    Returns (kept, drop_log(doc_id, n_dropped)) — like the bucket cap and
+    degree cap, drops are logged, never silent.
     """
     sig = reps.select("doc_id", "minhash")
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("mh_a"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("mh_b"))
-    return (
+    scored = tracked_persist(
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("mh_overlap", F.size(F.array_intersect("mh_a", "mh_b")))
-        .filter(
-            (F.col("mh_overlap") >= min_matches)
-            | (F.col("channels") != F.array(F.lit("minhash")))
-        )
         .drop("mh_a", "mh_b")
     )
+    keep = (F.col("mh_overlap") >= min_matches) | (
+        F.col("channels") != F.array(F.lit("minhash"))
+    )
+    dropped = (
+        scored.filter(~keep)
+        .select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return scored.filter(keep), dropped
 
 
 def cap_candidate_degree(
@@ -105,8 +114,11 @@ def cap_candidate_degree(
     ov = F.col("mh_overlap") if "mh_overlap" in candidates.columns else F.lit(0)
     wa = Window.partitionBy("id_a").orderBy(ov.desc(), F.col("id_b").asc())
     wb = Window.partitionBy("id_b").orderBy(ov.desc(), F.col("id_a").asc())
-    ranked = candidates.withColumn("_ra", F.row_number().over(wa)).withColumn(
-        "_rb", F.row_number().over(wb)
+    # persisted: both the kept set and the drop log read the ranked frame
+    ranked = tracked_persist(
+        candidates.withColumn("_ra", F.row_number().over(wa)).withColumn(
+            "_rb", F.row_number().over(wb)
+        )
     )
     kept = ranked.filter((F.col("_ra") <= cap) | (F.col("_rb") <= cap)).drop(
         "_ra", "_rb"
@@ -136,11 +148,12 @@ def pair_jaccard(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — exact shingle-set Jaccard per candidate pair.
 
-    Shingle rows are built only for documents that appear in a candidate
-    pair (semi-join pruning), then intersections come from one join on the
-    composite (doc_id, h) key: cost O(|candidates| * shingles_per_doc),
-    independent of corpus size. Pairs with zero shared shingles are absent
-    from the output (Jaccard 0).
+    Per-doc shingle-hash ARRAYS are built once for documents that appear in
+    a candidate pair (semi-join pruning), then each pair's intersection is
+    a codegen `array_intersect` after joining the arrays to both sides:
+    cost O(|candidates| * shingles_per_doc), independent of corpus size.
+    Every candidate pair appears in the output, including zero-overlap
+    pairs (jaccard = 0.0) — downstream thresholds do the filtering.
     """
     from pcompress_spark.functions.shingling import make_shingle_hashes_udf
 
@@ -193,8 +206,11 @@ def verify_edges(
 
     near      — exact Jaccard >= tau_extra (JVM shingle join, no Python)
     substring — winnow-proposed pairs below the bar sharing a verified
-                >= substring_min_len verbatim span (vectorized UDF on the
-                narrow surviving subset only)
+                >= substring_min_len verbatim span. Screening is JVM-side:
+                per-doc window-hash arrays are computed ONCE (pandas UDF),
+                pairs are screened with `array_intersect`, and the
+                byte-confirming lcs UDF runs only on hash hits (true spans
+                + 2^-64 collisions) — never once-per-candidate-pair.
     """
     # persist: jac feeds both the near branch and the substring pre-filter
     jac = tracked_persist(pair_jaccard(candidates, reps_with_text, cfg))
@@ -209,14 +225,12 @@ def verify_edges(
         .join(jac, ["id_a", "id_b"], "left")
         .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
         .filter(F.col("jaccard") < cfg.tau_extra)
+        .select("id_a", "id_b", "jaccard")
     )
+    sub_hits = substring_screen(sub_cand, reps_with_text, cfg)
     lcs_udf = make_lcs_udf(cfg)
     sub = (
-        attach_texts(sub_cand, reps_with_text)
-        .filter(
-            (F.length("text_a") >= cfg.substring_min_len)
-            & (F.length("text_b") >= cfg.substring_min_len)
-        )
+        attach_texts(sub_hits, reps_with_text)
         .filter(lcs_udf("text_a", "text_b"))
         .select(
             F.col("id_a").alias("src"),
@@ -226,3 +240,41 @@ def verify_edges(
         )
     )
     return near.unionByName(sub)
+
+
+def substring_screen(
+    sub_cand: DataFrame, reps_with_text: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Keep only pairs whose >= min_len window-hash sets intersect.
+
+    Hashing cost is O(total chars of candidate docs), paid once per doc;
+    the per-pair work is a codegen array_intersect of sorted long arrays.
+    A surviving pair shares a window hash — i.e. shares a verbatim
+    >= min_len span, or is one of the ~2^-64 hash collisions the caller's
+    byte-confirmation then rejects.
+    """
+    from pcompress_spark.functions.shingling import make_window_hashes_udf
+
+    docs_in = (
+        sub_cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(sub_cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    win_udf = make_window_hashes_udf(cfg)
+    win = tracked_persist(
+        reps_with_text.join(docs_in, "doc_id", "left_semi")
+        .filter(F.length("text") >= cfg.substring_min_len)
+        .select("doc_id", win_udf("text").alias("win"))
+    )
+    a = win.select(
+        F.col("doc_id").alias("id_a"), F.col("win").alias("win_a")
+    ).hint("shuffle_hash")
+    b = win.select(
+        F.col("doc_id").alias("id_b"), F.col("win").alias("win_b")
+    ).hint("shuffle_hash")
+    return (
+        sub_cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.size(F.array_intersect("win_a", "win_b")) > 0)
+        .drop("win_a", "win_b")
+    )

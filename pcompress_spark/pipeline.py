@@ -1,19 +1,22 @@
 """End-to-end near-duplicate detection + clustering pipeline.
 
-Stage graph (each stage checkpointed + lineage-logged, resumable):
+Stage graph (4 durable checkpoints, resumable; everything between them is
+lazy or session-cached — round 1's per-substage parquet barriers were the
+scaling bottleneck):
 
-    pages ──► sigs ──► text_groups ──► exact_edges
-                │            │
-                │            └──► reps (delegates, one per distinct text)
-                │                    ├──► lsh candidates      (minhash bands)
-                │                    ├──► simhash candidates  (16-bit blocks)
-                │                    └──► winnow candidates   (anchors)
-                │                             │ union+distinct
-                │                             ▼
-                │                     verified edges (exact jaccard / lcs)
-                │                             │ ∪ exact_edges
-                │                             ▼
-                └────────────────► connected components ──► assignments
+    pages ──► [sigs]  (url, doc_id, text_sha, lang, text, minhash, simhash)
+                │
+                ├── text_groups / exact_edges / reps      (lazy, cheap)
+                │
+                ▼      three channels run CONCURRENTLY (one Spark job each,
+            [candidates]  submitted from worker threads; FAIR scheduler)
+                │         minhash bands ∥ simhash blocks ∥ winnow anchors
+                │         → union → signature prefilter → degree cap
+                ▼
+             [edges]   exact ∪ verified fuzzy (jaccard / substring confirm)
+                │
+                ▼
+          [assignments]  connected components → cluster labels
 
 This is the Spark rewrite of `pcompress -G -D` (SURVEY §3.1): the one thing
 the reference serializes (the semaphore-guarded global index,
@@ -22,9 +25,11 @@ pcompress.c:2617-2624) is exactly what the shuffle parallelizes.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pcompress_spark.cache import release_all, tracked_persist
+from pcompress_spark.cache import CacheScope, tracked_persist
 from pcompress_spark.config import DEFAULT_CONFIG, PipelineConfig
 from pcompress_spark.checkpoint import CheckpointManager
 from pcompress_spark.operators import exact, lsh, simhash, substring, verify
@@ -49,76 +54,69 @@ class DedupPipeline:
     def run(self, pages: DataFrame) -> DataFrame:
         cfg, ckpt = self.cfg, self.ckpt
 
-        sigs = ckpt.materialize("sigs", lambda: exact.build_sigs(pages, cfg))
+        with CacheScope():
+            sigs = ckpt.materialize("sigs", lambda: exact.build_sigs(pages, cfg))
 
-        groups = ckpt.materialize("text_groups", lambda: exact.text_groups(sigs))
+            groups = exact.text_groups(sigs)
+            # delegates (one per distinct text, text included) feed all three
+            # channels plus verification — persist once, in-session
+            reps = tracked_persist(exact.representatives(sigs, groups))
 
-        exact_e = ckpt.materialize(
-            "edges_exact", lambda: exact.exact_edges(sigs, groups)
-        )
+            # channel bucket/candidate caches live only as long as the
+            # candidates stage: scope them so verify gets the memory back
+            with CacheScope():
+                cands = ckpt.materialize(
+                    "candidates", lambda: self._candidates(reps)
+                )
 
-        reps = ckpt.materialize(
-            "reps", lambda: exact.representatives(sigs, groups)
-        )
-        # delegates + their text for verification / winnowing
-        reps_text = ckpt.materialize(
-            "reps_text",
-            lambda: reps.select("doc_id").join(
-                pages.select(F.xxhash64("url").alias("doc_id"), "text"), "doc_id"
-            ),
-        )
-
-        def _candidates() -> DataFrame:
-            # each channel frame feeds the merged union exactly once, but
-            # without persist the bucket self-joins would re-run inside the
-            # merge job after the hot-log writes already ran them
-            lsh_c, lsh_hot = lsh.lsh_candidates(reps, cfg)
-            sim_c, sim_hot = simhash.simhash_candidates(reps, cfg)
-            win_c, win_hot = substring.substring_candidates(reps_text, cfg)
-            lsh_c, sim_c, win_c = (
-                tracked_persist(lsh_c),
-                tracked_persist(sim_c),
-                tracked_persist(win_c),
-            )
-            self._log_hot("lsh", lsh_hot)
-            self._log_hot("simhash", sim_hot)
-            self._log_hot("winnow", win_hot)
-            merged = verify.merge_candidates(lsh_c, sim_c, win_c)
-            filtered = verify.prefilter_candidates(merged, reps)
-            capped, dropped = verify.cap_candidate_degree(
-                filtered, cfg.verify_degree_cap
-            )
-            self._log_hot("degree_cap", dropped)
-            return capped
-
-        try:
-            cands = ckpt.materialize("candidates", _candidates)
-            # channel/bucket caches are dead once candidates hit storage;
-            # free them before the array-heavy verify stage needs the memory
-            release_all()
-
-            edges_fuzzy = ckpt.materialize(
-                "edges_fuzzy",
-                lambda: verify.verify_edges(cands, reps_text, cfg),
-            )
-            release_all()
-
-            edges = ckpt.materialize(
-                "edges",
-                lambda: exact_e.unionByName(
-                    edges_fuzzy.select("src", "dst", "jaccard", "kind")
-                ),
-            )
+            with CacheScope():
+                edges = ckpt.materialize(
+                    "edges",
+                    lambda: exact.exact_edges(sigs, groups).unionByName(
+                        verify.verify_edges(cands, reps, cfg).select(
+                            "src", "dst", "jaccard", "kind"
+                        )
+                    ),
+                )
 
             assignments = ckpt.materialize(
                 "assignments", lambda: self._assignments(sigs, edges)
             )
-        finally:
-            # every stage re-reads from its checkpoint, so intermediate
-            # caches are dead weight once materialized — release them or
-            # back-to-back runs in one session degrade (cache thrash)
-            release_all()
         return assignments
+
+    # ---------------------------------------------------------- candidates
+    def _candidates(self, reps: DataFrame) -> DataFrame:
+        """Run the three independent candidate channels as concurrent Spark
+        jobs (threads share the SparkContext; with the FAIR scheduler their
+        stages interleave, so the cluster is busy even while any one
+        channel sits in a narrow phase), then merge + prefilter + cap."""
+        cfg = self.cfg
+
+        def _run(name: str, fn):
+            c, hot = fn()
+            c = tracked_persist(c)
+            c.count()  # materialize this channel's candidates in-thread
+            self._log_hot(name, hot)
+            return c
+
+        channels = [
+            ("lsh", lambda: lsh.lsh_candidates(reps, cfg)),
+            ("simhash", lambda: simhash.simhash_candidates(reps, cfg)),
+            ("winnow", lambda: substring.substring_candidates(reps, cfg)),
+        ]
+        with ThreadPoolExecutor(max_workers=len(channels)) as ex:
+            frames = list(
+                ex.map(lambda nf: _run(nf[0], nf[1]), channels)
+            )
+
+        merged = verify.merge_candidates(*frames)
+        filtered, pre_dropped = verify.prefilter_candidates(merged, reps)
+        capped, cap_dropped = verify.cap_candidate_degree(
+            filtered, cfg.verify_degree_cap
+        )
+        self._log_hot("prefilter", pre_dropped)
+        self._log_hot("degree_cap", cap_dropped)
+        return capped
 
     # ---------------------------------------------------------- assignments
     def _assignments(self, sigs: DataFrame, edges: DataFrame) -> DataFrame:
@@ -141,7 +139,7 @@ class DedupPipeline:
 
     # -------------------------------------------------------------- helpers
     def _log_hot(self, channel: str, hot: DataFrame) -> None:
-        """Persist the hot-bucket downgrade log — drops are never silent."""
+        """Persist the hot-bucket/drop log — drops are never silent."""
         hot.write.mode("overwrite").parquet(
             self.ckpt.path(f"_hot_buckets_{channel}")
         )

@@ -50,6 +50,9 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # concurrent jobs (candidate channels run from worker threads)
+        # share cores fairly instead of convoying behind the first job
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # serialized-size target per post-shuffle partition; array-heavy

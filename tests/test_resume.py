@@ -17,7 +17,7 @@ def test_resume_after_partial_run_identical(spark, pages_df, assignments_run, tm
     first, ckpt_dir, pipe = assignments_run
 
     # simulate a crash after the candidate stage: wipe everything downstream
-    for stage in ("edges_fuzzy", "edges", "assignments"):
+    for stage in ("edges", "assignments"):
         shutil.rmtree(f"{ckpt_dir}/{stage}", ignore_errors=True)
 
     resumed = DedupPipeline(
@@ -53,7 +53,6 @@ def test_lineage_recorded(assignments_run):
     _, ckpt_dir, pipe = assignments_run
     lineage = pipe.ckpt.lineage()
     stages = {r["stage"] for r in lineage}
-    assert {"sigs", "text_groups", "edges_exact", "candidates", "edges",
-            "assignments"} <= stages
+    assert {"sigs", "candidates", "edges", "assignments"} <= stages
     for r in lineage:
         assert r["rows"] >= 0 and r["bytes"] > 0 and r["wall_ms"] >= 0

@@ -68,8 +68,10 @@ def test_prefilter_respects_other_channels(spark):
         [(1, 2, ["minhash"]), (1, 3, ["minhash"]), (2, 3, ["winnow"])],
         "id_a long, id_b long, channels array<string>",
     )
-    out = verify.prefilter_candidates(cands, reps, min_matches=2)
+    out, dropped = verify.prefilter_candidates(cands, reps, min_matches=2)
     got = {(r.id_a, r.id_b) for r in out.collect()}
+    # drops are logged, never silent
+    assert dropped.count() > 0
     # (1,2) has only 1 matching value -> dropped; (1,3) zero -> dropped;
     # (2,3) proposed by winnow -> bypasses the signature filter
     assert got == {(2, 3)}
