@@ -40,11 +40,18 @@ _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
-_HTML_PRE = b'<html><head><meta charset="utf-8"><title>'
-_HTML_MID = b'</title></head><body><nav>example.org corpus</nav><article>'
-_HTML_POST = b"</article><footer>(c) example.org</footer></body></html>"
-
 _LANGS = ("en", "de", "fr", "zh")
+
+# inline wrappers exercised by the extraction invariant (stripped with no
+# separator by extraction.py v1 — mid-token markup must not split words)
+_INLINE_WRAPS = (
+    ("<b>", "</b>"),
+    ("<em>", "</em>"),
+    ('<span class="w">', "</span>"),
+    ("<strong>", "</strong>"),
+    ('<a href="#x">', "</a>"),
+    ("<code>", "</code>"),
+)
 
 
 def _mix(*vals: int) -> int:
@@ -197,19 +204,64 @@ def gen_tokens(i: int) -> tuple[list[str], str]:
     return own[:cut] + span + own[cut:], lang
 
 
+def _render_html(i: int, tokens: list[str], lang: str, title: str) -> bytes:
+    """Adversarial-but-invariant page markup: nested divs with attributes,
+    inline tags inside the token stream, numeric character references,
+    comments, plus script/style/header/nav/footer boilerplate — built so
+    that `extraction.extract_text_v1(html) == " ".join(tokens)` exactly
+    (the BASELINE.json byte-identity invariant). Pure function of
+    (i, tokens, lang)."""
+    rng = _rng(i, 9)
+    n = len(tokens)
+    inline_pick = rng.integers(0, 8, size=n)
+    ent_pick = rng.integers(0, 16, size=n)
+    toks: list[str] = []
+    for j, t in enumerate(tokens):
+        if ent_pick[j] == 0 and t:
+            # first char as a decimal character reference (&#NNN;)
+            t = f"&#{ord(t[0])};{t[1:]}"
+        if inline_pick[j] == 0:
+            o, c = _INLINE_WRAPS[j % len(_INLINE_WRAPS)]
+            t = f"{o}{t}{c}"
+        toks.append(t)
+    paras: list[str] = []
+    j = 0
+    while j < n:
+        k = int(rng.integers(20, 60))
+        chunk = " ".join(toks[j : j + k])
+        j += k
+        style = int(rng.integers(0, 4))
+        if style == 0:
+            paras.append(f"<p>{chunk}</p>")
+        elif style == 1:
+            paras.append(
+                f'<div class="sec s{j % 7}">\n  <p data-idx="{j}">{chunk}</p>\n</div>'
+            )
+        elif style == 2:
+            paras.append(f"<blockquote>\n  {chunk}\n</blockquote>")
+        else:
+            paras.append(f"<p>{chunk}</p><!-- para {j} -->")
+    body = "\n".join(paras)
+    page = (
+        f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
+        f"<title>{title}</title><style>body{{margin:0;font:16px serif}}</style>"
+        f"</head><body><header><h1>{title}</h1></header>"
+        f"<nav>example.org corpus</nav>"
+        f'<article id="main">\n{body}\n</article>'
+        f"<footer>(c) example.org</footer>"
+        f'<script type="text/javascript">var t="{i}"; if (1 < 2) {{ t = t; }}'
+        f"</script></body></html>"
+    )
+    return page.encode("utf-8")
+
+
 def gen_doc(i: int) -> dict:
     tokens, lang = gen_tokens(i)
     text = " ".join(tokens)
     block = i // BLOCK
     url = f"https://{lang}.example.org/{block:04d}/{i:010d}"
     title = f"doc {i}"
-    html = (
-        _HTML_PRE
-        + title.encode("utf-8")
-        + _HTML_MID
-        + text.encode("utf-8")
-        + _HTML_POST
-    )
+    html = _render_html(i, tokens, lang, title)
     ts = _EPOCH + timedelta(seconds=int((i * 37) % (365 * 24 * 3600)))
     return {
         "url": url,

@@ -17,23 +17,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# the datagen's fixed HTML template (FIXTURES.md §5: template fixed forever)
-_ARTICLE_RE = r"(?s)<article>(.*?)</article>"
-
-
 @F.pandas_udf(T.StringType())
 def extract_text(html: pd.Series) -> pd.Series:
     """html binary -> extracted text. MUST be byte-identical per url.
 
-    Vectorized: pandas str ops over the Arrow batch. The corpus template
-    wraps the body in <article>…</article> and escapes nothing inside it
-    (generator guarantees no markup chars in text), so extraction is an
-    anchored slice. A production deployment swaps this body for a pinned
-    selectolax/trafilatura call — the contract (binary -> string,
-    deterministic, vectorized) is the engine-level invariant.
+    Delegates to the PINNED extraction algorithm v1
+    (functions/extraction.py): comment/boilerplate-element removal,
+    inline-vs-block tag stripping, HTML5 entity decoding, whitespace
+    normalization — a real extractor (handles nested markup, attributes,
+    entities), not a template regex. Compiled-regex bodies keep the per-doc
+    cost C-speed inside the Arrow batch.
     """
-    s = html.apply(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
-    return s.str.extract(_ARTICLE_RE, expand=False).fillna("")
+    from pcompress_spark.functions.extraction import extract_text_v1
+
+    return html.apply(extract_text_v1)
 
 
 def token_count(text: Column) -> Column:
