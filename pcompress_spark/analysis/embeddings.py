@@ -6,8 +6,8 @@ index.c:119-215):
 
 - `brute_force_topk`   — exact cosine top-k; the correctness baseline.
   JVM-side only: `zip_with` elementwise product + `aggregate` fold, ranked
-  with a window. Scales as |Q|x|C| — use with a bounded query set
-  (broadcast) against an arbitrarily large corpus.
+  with a window. Scales as |Q|x|C| compute, but the JOIN SHAPE is a
+  block-grid shuffle equi-join (never a broadcast of either side).
 - `lsh_ann_topk`       — the scale path: random-hyperplane (sign) LSH
   buckets the corpus; each query probes only its own bucket(s), then exact
   cosine reranks within the bucket. Sub-linear probe cost; recall depends
@@ -87,15 +87,23 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int = 16,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector in the corpus.
 
     -> (query_id, neighbor_id, cos_sim, rank). Self-matches excluded.
-    The query side is broadcast (bounded query set); corpus side streams —
-    no shuffle of the corpus, the only exchange is the per-query top-k
-    aggregation, which AQE coalesces. Rank ties break on neighbor_id and
-    sims are rounded before ranking so the ordering is reproducible across
-    engines and partitionings.
+
+    Scale shape: **block-grid equi-join**, never a broadcast of either
+    side. The corpus is hash-partitioned into `blocks` blocks by vec id;
+    each query row is replicated once per block with a `_partner` key and
+    the score join is a plain shuffle equi-join `_partner == _blk` —
+    SortMergeJoin/ShuffledHashJoin in the plan, O(|Q|·blocks + |C|)
+    shuffle rows, no BroadcastNestedLoopJoin and no executor-sized
+    collection anywhere (the round-1 `broadcast(corpus)` version OOMs at
+    100×). Exactness is unchanged: every (query, neighbor) pair meets in
+    exactly one cell. Rank ties break on neighbor_id and sims are rounded
+    before ranking so the ordering is reproducible across engines and
+    partitionings.
     """
     q = _norm_frame(
         queries.select(
@@ -109,8 +117,18 @@ def brute_force_topk(
         ),
         "neighbor_id", "cv", "cn",
     )
+    qr = q.withColumn(
+        "_partner", F.explode(F.array(*[F.lit(j) for j in range(blocks)]))
+    ).hint("shuffle_hash")
+    cb = c.withColumn(
+        "_blk", F.pmod(F.xxhash64("neighbor_id"), F.lit(blocks)).cast("int")
+    ).hint("shuffle_hash")
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        qr.join(
+            cb,
+            (F.col("_partner") == F.col("_blk"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
         .withColumn(
             "cos_sim",
             _round6(
@@ -229,22 +247,70 @@ def hyperplanes_mt(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarr
     return rng.standard_normal((tables, bits, dim))
 
 
+def _triangle_cells(q, g: int):
+    """Array of the g grid cells (ci, cj) covering block q — the same
+    triangle replication as operators/pairs.py: an unordered block pair
+    (p, q) owns exactly the cell (min, max)."""
+    return F.array(
+        *[
+            F.struct(
+                F.least(q, F.lit(j)).alias("ci"),
+                F.greatest(q, F.lit(j)).alias("cj"),
+            )
+            for j in range(g)
+        ]
+    )
+
+
 def cosine_pairs_above(
     corpus: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int = 8,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — embedding
-    near-duplicate detection. Exact; at scale run it per LSH bucket
-    (`lsh_ann_topk` plumbing) instead of the full cross join."""
+    near-duplicate detection. EXACT (recall 1 by construction — this is
+    what lets the DuckDB oracle certify it), but scale-shaped: the n²
+    comparisons are distributed by a **triangle block-grid equi-join**
+    (each vector hashed to one of `blocks` blocks and replicated to its
+    `blocks` grid cells; every unordered pair meets in exactly one cell).
+    The join is a shuffle equi-join on (ci, cj) — no cartesian/
+    BroadcastNestedLoopJoin, cells are uniform by hashing, and each cell's
+    (n/B)² comparisons are independent tasks. The inherent O(n²) cost is
+    the price of exactness — the sub-quadratic approximate path is
+    `lsh_ann_topk`, whose recall is measured, not assumed."""
     base = corpus.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     )
     a = _norm_frame(base, "id_a", "va", "na")
     b = _norm_frame(base, "id_b", "vb", "nb")
+    g = max(2, blocks)
+    ar = (
+        a.withColumn("_q", F.pmod(F.xxhash64("id_a"), F.lit(g)).cast("int"))
+        .withColumn("_cell", F.explode(_triangle_cells(F.col("_q"), g)))
+        .select("id_a", "va", "na", "_q", "_cell.ci", "_cell.cj")
+        .hint("shuffle_hash")
+    )
+    br = (
+        b.withColumn("_r", F.pmod(F.xxhash64("id_b"), F.lit(g)).cast("int"))
+        .withColumn("_cell", F.explode(_triangle_cells(F.col("_r"), g)))
+        .select("id_b", "vb", "nb", "_r", "_cell.ci", "_cell.cj")
+        .hint("shuffle_hash")
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        ar.join(
+            br,
+            (ar["ci"] == br["ci"])
+            & (ar["cj"] == br["cj"])
+            & (F.col("id_a") < F.col("id_b"))
+            # each pair from exactly one cell: same-block pairs share all g
+            # cells, keep only the diagonal one
+            & (
+                (F.col("_q") != F.col("_r"))
+                | ((ar["ci"] == F.col("_q")) & (ar["cj"] == F.col("_q")))
+            ),
+        )
         .withColumn(
             "cos_sim",
             _round6(

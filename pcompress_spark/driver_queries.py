@@ -387,17 +387,16 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload decode plumbing (stub features; real mapInPandas)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-    )
-    kind = (
-        F.when(F.length(F.col("payload")) % 3 == 0, F.lit("image"))
-        .when(F.length(F.col("payload")) % 3 == 1, F.lit("audio"))
-        .otherwise(F.lit("video"))
-    )
-    return M.decode_features(d, "doc_id", "payload", kind)
+    """Multimodal decode [F10/S4/P6]: synthesize payloads with REAL
+    container headers (PNG IHDR / WAV fmt+data / AVI avih — planted fields
+    are arithmetic in the content length), then decode via magic-byte kind
+    sniffing + binary header parsing in mapInPandas. The oracle predicts
+    the planted values, so a green row certifies the parser read the
+    actual bytes back correctly."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    payload_udf = M.make_payload_udf()
+    p = d.select("doc_id", payload_udf("text").alias("payload"))
+    return M.decode_features(p, "doc_id", "payload")
 
 
 def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,22 +623,29 @@ SELECT id_a, id_b, cos_sim FROM (
 ) WHERE cos_sim >= {COS_TAU}
 """,
     # embedding_ann_lsh: intentionally no oracle (approximate by design)
+    # the oracle predicts the PLANTED header fields; the Spark side reads
+    # them back by parsing the actual binary containers — a value match
+    # certifies real magic-byte dispatch + header extraction
     "multimodal_decode": """
 WITH p AS (
-  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
          sha256(text) AS sha_hex
   FROM documents
+),
+k AS (
+  SELECT *,
+    CASE WHEN n % 3 = 0 THEN 'image'
+         WHEN n % 3 = 1 THEN 'audio'
+         ELSE 'video' END AS kind
+  FROM p
 )
-SELECT media_id,
-  CASE WHEN n_bytes % 3 = 0 THEN 'image'
-       WHEN n_bytes % 3 = 1 THEN 'audio'
-       ELSE 'video' END AS kind,
-  n_bytes,
+SELECT media_id, kind,
+  n + CASE kind WHEN 'image' THEN 33 WHEN 'audio' THEN 44 ELSE 88 END AS n_bytes,
   substr(sha_hex, 1, 16) AS sha_prefix,
-  CAST(32 + n_bytes % 608 AS INT) AS width,
-  CAST(32 + (n_bytes * 7) % 448 AS INT) AS height,
-  CAST(1 + n_bytes % 16 AS INT) AS n_frames
-FROM p
+  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 32 + n % 608 END AS INT) AS width,
+  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 32 + (n * 7) % 448 END AS INT) AS height,
+  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + n % 16 END AS INT) AS n_frames
+FROM k
 """,
     "scan_filter_project": """
 SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice

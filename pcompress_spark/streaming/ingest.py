@@ -2,25 +2,42 @@
 
 The reference's `-p` pipe mode (pcompress.c:2404-2427) processes an
 unbounded stdin stream through the same dedup machinery, accumulating the
-global index across chunks. Spark-first shape: `readStream` over the
-landing zone, event-time watermark on `warc_ts`, in-stream url dedup, and
-`foreachBatch` merging each micro-batch into the checkpointed identity
-index so re-fetched pages dedupe against everything already ingested —
-the micro-batch loop IS the chunk loop, the `seen` table IS the global
-index.
+global index across chunks. Spark-first shapes, two tiers:
 
-The fuzzy channels (MinHash/SimHash/winnow) stay batch jobs over the
-ingested table (reference parity: its similarity index is also rebuilt
-per run, not per pipe chunk).
+1. **State-store global index** (`dedup_stream_global`): cross-batch
+   identity dedup via `dropDuplicates(["text_sha"])` with NO watermark —
+   Structured Streaming's keyed state store IS the global index
+   (reference: `db_lookup_insert_s`, rabin/global/index.c:485-558).
+   Per-batch cost is O(|batch|) point lookups regardless of how much
+   history has accumulated — the property the round-1 anti-join (which
+   re-read the whole `seen` table every batch) lacked. State is
+   hash-partitioned across executors and persisted incrementally to the
+   checkpoint location (RocksDB-backed at production scale; ~40 B/key —
+   size `spark.sql.shuffle.partitions` so per-executor state fits disk).
+
+2. **Durable shard-partitioned `seen` table** (`merge_batch`): the
+   queryable identity index on storage. Written `partitionBy("shard")`
+   with shard = pmod(xxhash64(text_sha), n_shards); each micro-batch
+   anti-joins ONLY the shard partitions its rows actually hash into
+   (partition pruning — the batch's shard list is pushed as a partition
+   filter), not the whole history.
+
+Delivery contract: foreachBatch is AT-LEAST-ONCE; the design is correct
+because the merge is idempotent (a re-delivered batch anti-joins against
+the rows its first delivery appended). The fuzzy channels
+(MinHash/SimHash/winnow) stay batch jobs over the ingested table
+(reference parity: its similarity index is also rebuilt per run, not per
+pipe chunk).
 """
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.utils import AnalysisException
 
 from pcompress_spark.datagen import PAGES_SCHEMA
+
+N_SHARDS = 64
 
 
 def read_pages_stream(
@@ -50,43 +67,75 @@ def dedup_stream(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dedup_stream_global(pages: DataFrame) -> DataFrame:
+    """Cross-batch identity dedup with the state store as the global index.
+
+    No watermark on the dedup key: every text_sha ever seen stays in keyed
+    state, so a re-crawled page is dropped in O(1) per row no matter how
+    old the original is. First-PROCESSED occurrence wins, which under the
+    file source's name-ordered, maxFilesPerTrigger-bounded triggers is
+    landing order — the streaming analog of backward refs
+    (rabin_dedup.c:1606-1615).
+    """
+    return (
+        pages.withColumn("doc_id", F.xxhash64("url"))
+        .withColumn("text_sha", F.sha2("text", 256))
+        .dropDuplicates(["text_sha"])
+    )
+
+
+def _try_read_seen(spark: SparkSession, seen_dir: str) -> DataFrame | None:
+    """Probe the seen table THROUGH Spark (works on s3a://, hdfs://, file://
+    alike — an os.path probe silently fails off the local filesystem)."""
+    try:
+        return spark.read.parquet(seen_dir)
+    except AnalysisException:
+        return None
+
+
 def merge_batch(
-    batch: DataFrame, seen_dir: str
+    batch: DataFrame, seen_dir: str, n_shards: int = N_SHARDS
 ) -> tuple[int, int]:
     """foreachBatch body: anti-join the micro-batch against the persistent
     identity index, append only first-seen texts, return (new, dup) counts.
 
-    The `seen` table is the durable global index (reference:
-    `db_lookup_insert_s`, rabin/global/index.c:485-558) — lookup-insert
-    becomes anti-join + append, serialized per micro-batch by Structured
-    Streaming's exactly-once foreachBatch contract.
+    Scale shape: `seen` is partitioned by shard = pmod(xxhash64(text_sha),
+    n_shards); the anti-join reads only the shard partitions present in
+    the batch (partition filter pushed to the scan) and only the
+    (text_sha, shard) columns — batch cost tracks the touched slice of
+    the index, not total history. Idempotent under at-least-once
+    foreachBatch redelivery: re-delivered rows anti-join against their
+    own first append.
     """
     spark = batch.sparkSession
-    batch = batch.select("url", "doc_id", "text_sha", "warc_ts").persist()
-    total = batch.count()
-    if os.path.exists(os.path.join(seen_dir, "_SUCCESS")) or (
-        os.path.isdir(seen_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(seen_dir)
+    batch = (
+        batch.select("url", "doc_id", "text_sha", "warc_ts")
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("text_sha"), F.lit(n_shards)).cast("int")
         )
-    ):
-        seen = spark.read.parquet(seen_dir)
+        .persist()
+    )
+    total = batch.count()
+    seen = _try_read_seen(spark, seen_dir)
+    if seen is not None:
+        shards = [r["shard"] for r in batch.select("shard").distinct().collect()]
         fresh = batch.join(
-            seen.select("text_sha"), "text_sha", "left_anti"
+            seen.filter(F.col("shard").isin(shards)).select("text_sha"),
+            "text_sha",
+            "left_anti",
         )
     else:
         fresh = batch
-    # first occurrence within the batch wins (earliest doc_id — backward-ref
-    # semantics, rabin_dedup.c:1606-1615)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("text_sha").orderBy("doc_id")
+    # earliest occurrence within the batch wins: order by event time, then
+    # doc_id for determinism (backward-ref semantics, rabin_dedup.c:1606-1615)
+    w = Window.partitionBy("text_sha").orderBy("warc_ts", "doc_id")
     fresh = (
         fresh.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
     n_new = fresh.count()
-    fresh.write.mode("append").parquet(seen_dir)
+    fresh.write.mode("append").partitionBy("shard").parquet(seen_dir)
     batch.unpersist()
     return n_new, total - n_new
 
@@ -115,3 +164,35 @@ def run_ingest(
     )
     q._merge_stats = stats  # test hook
     return q
+
+
+def run_ingest_statestore(
+    spark: SparkSession,
+    landing_dir: str,
+    seen_dir: str,
+    stream_ckpt: str,
+):
+    """State-store variant: the stream itself holds the global identity
+    index (dedup_stream_global), so foreachBatch only appends — no
+    anti-join, no read of `seen` at all. Restarting from `stream_ckpt`
+    restores the full index."""
+
+    def _each(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.select("url", "doc_id", "text_sha", "warc_ts")
+            .withColumn(
+                "shard",
+                F.pmod(F.xxhash64("text_sha"), F.lit(N_SHARDS)).cast("int"),
+            )
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(seen_dir)
+        )
+
+    return (
+        dedup_stream_global(read_pages_stream(spark, landing_dir))
+        .writeStream.foreachBatch(_each)
+        .option("checkpointLocation", stream_ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
