@@ -399,6 +399,28 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_features(p, "doc_id", "payload")
 
 
+def q_reconstruct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-back audit [pcompress -d analog]: rebuild every identity-dup
+    member's text from its representative (the only stored copy) and
+    re-verify the rebuilt bytes by content hash (pcompress.c:838,
+    rabin_dedup.c:1552-1723 backward-ref resolution + checksum verify)."""
+    from pcompress_spark.operators.reconstruct import reconstruct_audit
+
+    return reconstruct_audit(_docs(spark, sf_dir))
+
+
+def q_delta_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-span delta descriptors [F11 completion]: per verified
+    substring pair, (start offset in each doc, shared-window count,
+    estimated span length) — the (index, offset, length) backref triple a
+    delta encoder consumes (rabin_dedup.c:1190-1245)."""
+    from pcompress_spark.operators.reconstruct import delta_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = q_substring_pairs(spark, sf_dir)
+    return delta_spans(docs, pairs, SUB_MIN)
+
+
 def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pushdown scan [S1/P3]: filter + narrow projection reach the parquet
     reader (PushedFilters/ReadSchema verified in tests)."""
@@ -484,6 +506,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "multimodal_decode": q_multimodal_decode,
+    "reconstruct_audit": q_reconstruct_audit,
+    "delta_spans": q_delta_spans,
     "scan_filter_project": q_scan_filter_project,
     "join_agg_revenue": q_join_agg_revenue,
     "window_rank_orders": q_window_rank_orders,
@@ -646,6 +670,34 @@ SELECT media_id, kind,
   CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 32 + (n * 7) % 448 END AS INT) AS height,
   CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + n % 16 END AS INT) AS n_frames
 FROM k
+""",
+    "reconstruct_audit": """
+WITH d AS (SELECT doc_id, text, sha256(text) AS text_sha FROM documents),
+g AS (SELECT text_sha, min(doc_id) AS rep_id FROM d GROUP BY text_sha),
+m AS (SELECT d.doc_id, d.text_sha, g.rep_id FROM d JOIN g USING (text_sha)),
+r AS (SELECT g.rep_id, d.text AS rep_text FROM d JOIN g ON d.doc_id = g.rep_id)
+SELECT m.doc_id, m.rep_id, m.doc_id <> m.rep_id AS is_dup,
+       substr(sha256(r.rep_text), 1, 16) AS rebuilt_sha_prefix,
+       sha256(r.rep_text) = m.text_sha AS sha_ok
+FROM m JOIN r USING (rep_id)
+""",
+    "delta_spans": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),
+wp AS (SELECT doc_id, g, min(i) AS pos FROM
+        (SELECT doc_id, substr(text, CAST(i AS INT), {SUB_MIN}) AS g, i
+         FROM d, unnest(range(1, length(text) - {SUB_MIN} + 2)) t(i))
+       GROUP BY doc_id, g),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wp a JOIN wp b ON a.g = b.g AND a.doc_id < b.doc_id)
+SELECT p.id_a, p.id_b,
+       CAST(min(a.pos) AS BIGINT) AS off_a,
+       CAST(min(b.pos) AS BIGINT) AS off_b,
+       count(*) AS n_win,
+       count(*) + {SUB_MIN - 1} AS est_span_len
+FROM p
+JOIN wp a ON a.doc_id = p.id_a
+JOIN wp b ON b.doc_id = p.id_b AND b.g = a.g
+GROUP BY p.id_a, p.id_b
 """,
     "scan_filter_project": """
 SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice

@@ -77,6 +77,20 @@ def test_join_agg_uses_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_embedding_paths_never_nested_loop(spark):
+    """The n² embedding comparisons must be distributed as shuffle
+    equi-joins (block grid) — a BroadcastNestedLoopJoin or a corpus-sized
+    broadcast is the 100-TB failure mode the round-1 version had."""
+    for df in (
+        DQ.q_embedding_near_dup(spark, SF),
+        DQ.q_embedding_topk(spark, SF),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+        assert "CartesianProduct" not in plan, plan[:1500]
+        assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), plan[:1500]
+
+
 def test_multimodal_decode_deterministic(spark):
     a = DQ.q_multimodal_decode(spark, SF).orderBy("media_id").collect()
     b = DQ.q_multimodal_decode(spark, SF).orderBy("media_id").collect()
