@@ -36,6 +36,13 @@ class PipelineConfig:
     min_doc_len: int = 32            # docs shorter than this skip fuzzy dedup
                                      # (analog of small-chunk filter,
                                      # rabin_dedup.c:500-510)
+    cjk_shingle_chars: int = 8       # CJK shingle width in CODEPOINTS (P6
+                                     # adaptive config): 16 BYTES spans only
+                                     # ~5 Han chars in UTF-8, so zh/ja/ko
+                                     # shingle in the codepoint domain
+                                     # (functions/hashing.py shingles_for;
+                                     # analog of adaptive_compress.c:325-430
+                                     # per-content algorithm selection)
 
     # --- scale/skew knobs ---
     salt_buckets: int = 16           # salt groups g for the triangle split of

@@ -55,6 +55,38 @@ def shingle_hashes(text: str, width: int = 16) -> np.ndarray:
     return np.unique(h)
 
 
+CJK_LANGS = frozenset({"zh", "ja", "ko"})
+
+
+def shingle_hashes_chars(text: str, width_chars: int) -> np.ndarray:
+    """Distinct hashes of every `width_chars`-CODEPOINT shingle of `text`.
+
+    The CJK variant of `shingle_hashes` (P6 adaptive config, analog of
+    adaptive_compress.c:325-430 per-content algorithm selection): a
+    16-BYTE window spans ~5 Han characters in UTF-8, so byte-domain
+    shingles over-fragment CJK text relative to latin scripts. Rolling the
+    same polynomial over the codepoint array keeps the shingle span
+    proportional to linguistic units. Same O(n) prefix-sum roll — the
+    window hash works over any integer alphabet.
+    """
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if cps.size < width_chars:
+        return np.empty(0, dtype=np.uint64)
+    h = _splitmix64(window_hashes_all(cps, width_chars))
+    return np.unique(h)
+
+
+def shingles_for(
+    text: str, lang: str, byte_width: int, cjk_chars: int
+) -> np.ndarray:
+    """Per-lang shingle dispatch: CJK langs shingle in codepoints, all
+    others in bytes. Shared verbatim by the Spark sig/verify UDFs and the
+    golden oracle, so the dispatch can never drift between them."""
+    if lang in CJK_LANGS:
+        return shingle_hashes_chars(text, cjk_chars)
+    return shingle_hashes(text, byte_width)
+
+
 # modular inverse of the (odd) multiplier mod 2^64 — lets the polynomial
 # window hash roll in O(n) total instead of O(n*width)
 _MULT_INV = np.uint64(pow(int(_MULT), -1, 1 << 64))

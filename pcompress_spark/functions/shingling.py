@@ -61,6 +61,64 @@ def make_sig_udf(cfg: PipelineConfig):
     return sig_udf
 
 
+def make_sig_udf_lang(cfg: PipelineConfig):
+    """Lang-aware sig UDF: (text, lang) -> struct(nshingles, minhash,
+    simhash), with per-lang shingle dispatch (P6 adaptive config) — CJK
+    docs shingle in codepoints (cfg.cjk_shingle_chars), others in bytes
+    (cfg.shingle_width). Dispatch lives in hashing.shingles_for, shared
+    with the golden oracle."""
+    byte_width = cfg.shingle_width
+    cjk_chars = cfg.cjk_shingle_chars
+    a_params, b_params = H.minhash_params(cfg.minhash_k, cfg.seed)
+
+    @F.pandas_udf(SIG_SCHEMA)
+    def sig_udf(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        nsh = np.zeros(n, dtype=np.int32)
+        mh = [None] * n
+        sh = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            shingles = H.shingles_for(
+                texts.iloc[i] or "", langs.iloc[i] or "", byte_width, cjk_chars
+            )
+            nsh[i] = shingles.size
+            mh[i] = H.to_signed(
+                H.minhash_from_shingles(shingles, a_params, b_params)
+            )
+            sh[i] = np.int64(
+                np.uint64(H.simhash_from_shingles(shingles)).view(np.int64)
+            )
+        return pd.DataFrame({"nshingles": nsh, "minhash": mh, "simhash": sh})
+
+    return sig_udf
+
+
+def make_shingle_hashes_lang_udf(cfg: PipelineConfig):
+    """Lang-aware twin of make_shingle_hashes_udf: (text, lang) ->
+    array<long>, same per-lang dispatch as make_sig_udf_lang so verify
+    Jaccard is computed over the same sets the signatures sketched."""
+    byte_width = cfg.shingle_width
+    cjk_chars = cfg.cjk_shingle_chars
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingles_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                H.to_signed(
+                    H.shingles_for(
+                        texts.iloc[i] or "",
+                        langs.iloc[i] or "",
+                        byte_width,
+                        cjk_chars,
+                    )
+                )
+                for i in range(len(texts))
+            ]
+        )
+
+    return shingles_udf
+
+
 def make_shingle_hashes_udf(cfg: PipelineConfig):
     """pandas UDF: text -> array<long> of distinct hashed byte-window
     shingles (the exact sets the golden oracle uses). Vectorized numpy

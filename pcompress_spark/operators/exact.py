@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from pcompress_spark.config import PipelineConfig
-from pcompress_spark.functions.shingling import make_sig_udf
+from pcompress_spark.functions.shingling import make_sig_udf_lang
 
 
 def build_sigs(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -35,12 +35,12 @@ def build_sigs(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     needs text (winnow anchors, verification) reads it back from columnar
     storage with projection pushdown instead of re-scanning the source.
     """
-    sig_udf = make_sig_udf(cfg)
+    sig_udf = make_sig_udf_lang(cfg)
     return (
         pages.select("url", "text", "lang")
         .withColumn("doc_id", F.xxhash64("url"))
         .withColumn("text_sha", F.sha2("text", 256))
-        .withColumn("_sig", sig_udf("text"))
+        .withColumn("_sig", sig_udf("text", "lang"))
         .select(
             "url",
             "doc_id",

@@ -39,11 +39,11 @@ def shingle_hash_rows(docs_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
     rows enter the verify shuffle. Byte windows (not chars) so multi-byte
     scripts hash identically to the byte-oriented oracle.
     """
-    from pcompress_spark.functions.shingling import make_shingle_hashes_udf
+    from pcompress_spark.functions.shingling import make_shingle_hashes_lang_udf
 
-    shingles_udf = make_shingle_hashes_udf(cfg)
+    shingles_udf = make_shingle_hashes_lang_udf(cfg)
     return docs_text.select(
-        "doc_id", F.explode(shingles_udf("text")).alias("h")
+        "doc_id", F.explode(shingles_udf("text", "lang")).alias("h")
     )
 
 
@@ -155,17 +155,17 @@ def pair_jaccard(
     Every candidate pair appears in the output, including zero-overlap
     pairs (jaccard = 0.0) — downstream thresholds do the filtering.
     """
-    from pcompress_spark.functions.shingling import make_shingle_hashes_udf
+    from pcompress_spark.functions.shingling import make_shingle_hashes_lang_udf
 
     docs_in = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    shingles_udf = make_shingle_hashes_udf(cfg)
+    shingles_udf = make_shingle_hashes_lang_udf(cfg)
     sh_arr = tracked_persist(
         reps_with_text.join(docs_in, "doc_id", "left_semi")
-        .select("doc_id", shingles_udf("text").alias("sh"))
+        .select("doc_id", shingles_udf("text", "lang").alias("sh"))
     )
     # shuffle_hash hints: the array sides have no stats (UDF output), and
     # a mis-estimated broadcast of a 100s-of-MB array table stalls the

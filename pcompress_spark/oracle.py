@@ -74,14 +74,25 @@ def compute_golden(
     shingle_width: int = 16,
     tau: float = 0.4,
     substring_min_len: int = 2048,
+    cjk_shingle_chars: int = 8,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """(golden_pairs, golden_clusters) for a pages frame (url, text)."""
+    """(golden_pairs, golden_clusters) for a pages frame (url, text[, lang]).
+
+    Shingling dispatches per lang exactly like the pipeline (CJK docs in
+    codepoints, others in bytes — hashing.shingles_for, the SAME function
+    the sig/verify UDFs call, so oracle and engine cannot drift)."""
     urls = pages["url"].tolist()
     texts = pages["text"].tolist()
+    langs = (
+        pages["lang"].tolist() if "lang" in pages.columns else ["en"] * len(urls)
+    )
     n = len(urls)
     doc_ids = np.array([xxh64_signed(u) for u in urls], dtype=np.int64)
 
-    shingles = [H.shingle_hashes(t, shingle_width) for t in texts]
+    shingles = [
+        H.shingles_for(t, lg, shingle_width, cjk_shingle_chars)
+        for t, lg in zip(texts, langs)
+    ]
     sizes = np.array([s.size for s in shingles], dtype=np.int64)
 
     # --- exact pairs: identical text ---

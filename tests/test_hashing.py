@@ -100,3 +100,60 @@ def test_winnow_guarantee_shared_span():
     aa = H.winnow_anchors(a, 64, 992)
     bb = H.winnow_anchors(b, 64, 992)
     assert np.intersect1d(aa, bb).size >= 1
+
+
+def test_cjk_codepoint_shingles_naive_equiv():
+    """shingle_hashes_chars must equal hashing every width-codepoint
+    window independently (the O(n*w) definition the O(n) roll replaces)."""
+    text = "汉字漢字かな한글" * 12 + "mixed latin 混入テキスト" * 5
+    w = 8
+    got = H.shingle_hashes_chars(text, w)
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    naive = np.unique(
+        H._splitmix64(
+            np.array(
+                [H.window_hashes_all(cps[i : i + w], w)[0] for i in range(cps.size - w + 1)],
+                dtype=np.uint64,
+            )
+        )
+    )
+    assert np.array_equal(got, naive)
+
+
+def test_cjk_dispatch_improves_shingle_granularity():
+    """P6 adaptive config: a zh doc gets ~1 shingle per codepoint window;
+    byte-domain shingling of the same doc spans only ~5 Han chars per
+    16-byte window, over-fragmenting the linguistic units."""
+    zh = "这是一个测试文档，包含足够多的汉字来产生许多指纹。" * 20
+    char_sh = H.shingles_for(zh, "zh", 16, 8)
+    byte_sh = H.shingles_for(zh, "en", 16, 8)
+    assert char_sh.size > 0 and byte_sh.size > 0
+    # codepoint shingles cover 8 chars; byte shingles cover ~5 — the
+    # codepoint domain yields the spec'd width, independent of encoding
+    assert char_sh.size == np.unique(
+        H.shingle_hashes_chars(zh, 8)
+    ).size
+    # dispatch: non-CJK langs stay in the byte domain
+    assert np.array_equal(H.shingles_for(zh, "fr", 16, 8), H.shingle_hashes(zh, 16))
+
+
+def test_cjk_near_dup_jaccard_sensitivity():
+    """Codepoint shingles must give near-dup zh docs high Jaccard and
+    unrelated zh docs low Jaccard (recall precondition for the zh class)."""
+    rng = np.random.default_rng(7)
+    # non-repetitive synthetic zh: random Han codepoints (U+4E00..U+9FA5)
+    def han(n, g):
+        return "".join(chr(0x4E00 + int(c)) for c in g.integers(0, 0x9FA5 - 0x4E00, n))
+
+    base = han(600, rng)
+    near = base[:560] + han(40, rng)  # ~93% shared prefix
+    other = han(600, rng)
+    s_base = H.shingle_hashes_chars(base, 8)
+    s_near = H.shingle_hashes_chars(near, 8)
+    s_other = H.shingle_hashes_chars(other, 8)
+
+    def jac(a, b):
+        return np.intersect1d(a, b).size / np.union1d(a, b).size
+
+    assert jac(s_base, s_near) > 0.8
+    assert jac(s_base, s_other) < 0.05
