@@ -42,8 +42,9 @@ def shingle_hash_rows(docs_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
     from pcompress_spark.functions.shingling import make_shingle_hashes_lang_udf
 
     shingles_udf = make_shingle_hashes_lang_udf(cfg)
+    lang_col = F.col("lang") if "lang" in docs_text.columns else F.lit("")
     return docs_text.select(
-        "doc_id", F.explode(shingles_udf("text", "lang")).alias("h")
+        "doc_id", F.explode(shingles_udf(F.col("text"), lang_col)).alias("h")
     )
 
 
@@ -163,9 +164,12 @@ def pair_jaccard(
         .distinct()
     )
     shingles_udf = make_shingle_hashes_lang_udf(cfg)
+    lang_col = (
+        F.col("lang") if "lang" in reps_with_text.columns else F.lit("")
+    )
     sh_arr = tracked_persist(
         reps_with_text.join(docs_in, "doc_id", "left_semi")
-        .select("doc_id", shingles_udf("text", "lang").alias("sh"))
+        .select("doc_id", shingles_udf(F.col("text"), lang_col).alias("sh"))
     )
     # shuffle_hash hints: the array sides have no stats (UDF output), and
     # a mis-estimated broadcast of a 100s-of-MB array table stalls the
