@@ -205,6 +205,7 @@ def verify_edges(
     candidates: DataFrame,
     reps_with_text: DataFrame,
     cfg: PipelineConfig,
+    eager_jaccard: bool = False,
 ) -> DataFrame:
     """candidates(id_a, id_b, channels) -> edges(src, dst, jaccard, kind).
 
@@ -216,8 +217,12 @@ def verify_edges(
                 byte-confirming lcs UDF runs only on hash hits (true spans
                 + 2^-64 collisions) — never once-per-candidate-pair.
     """
-    # persist: jac feeds both the near branch and the substring pre-filter
+    # persist: jac feeds both the near branch and the substring pre-filter.
+    # eager_jaccard forces it NOW so a multi-branch downstream action reads
+    # a warm cache rather than computing the verify join once per branch.
     jac = tracked_persist(pair_jaccard(candidates, reps_with_text, cfg))
+    if eager_jaccard:
+        jac.count()
     near = jac.filter(F.col("jaccard") >= cfg.tau_extra).select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),

@@ -59,23 +59,32 @@ class DedupPipeline:
 
             groups = exact.text_groups(sigs)
             # delegates (one per distinct text, text included) feed all three
-            # channels plus verification — persist once, in-session
+            # channels plus verification — persist once, in-session.
+            # Materialized lazily and exactly ONCE (first builder that needs
+            # it): concurrent channel jobs racing to populate a cold cache
+            # each recompute the upstream join, tripling the work.
             reps = tracked_persist(exact.representatives(sigs, groups))
+            reps_ready = False
+
+            def need_reps() -> DataFrame:
+                nonlocal reps_ready
+                if not reps_ready:
+                    reps.count()
+                    reps_ready = True
+                return reps
 
             # channel bucket/candidate caches live only as long as the
             # candidates stage: scope them so verify gets the memory back
             with CacheScope():
                 cands = ckpt.materialize(
-                    "candidates", lambda: self._candidates(reps)
+                    "candidates", lambda: self._candidates(need_reps())
                 )
 
             with CacheScope():
                 edges = ckpt.materialize(
                     "edges",
                     lambda: exact.exact_edges(sigs, groups).unionByName(
-                        verify.verify_edges(cands, reps, cfg).select(
-                            "src", "dst", "jaccard", "kind"
-                        )
+                        self._fuzzy_edges(cands, need_reps())
                     ),
                 )
 
@@ -83,6 +92,19 @@ class DedupPipeline:
                 "assignments", lambda: self._assignments(sigs, edges)
             )
         return assignments
+
+    # --------------------------------------------------------- fuzzy edges
+    def _fuzzy_edges(self, cands: DataFrame, reps: DataFrame) -> DataFrame:
+        """verify_edges with its shared Jaccard frame pre-materialized.
+
+        The near/substring branches of the edges union both read the
+        persisted pair-Jaccard frame; forcing it here means the union
+        action hits a warm cache instead of concurrently (re)computing the
+        verify join once per branch."""
+        edges_fuzzy = verify.verify_edges(
+            cands, reps, self.cfg, eager_jaccard=True
+        )
+        return edges_fuzzy.select("src", "dst", "jaccard", "kind")
 
     # ---------------------------------------------------------- candidates
     def _candidates(self, reps: DataFrame) -> DataFrame:
@@ -114,6 +136,12 @@ class DedupPipeline:
         capped, cap_dropped = verify.cap_candidate_degree(
             filtered, cfg.verify_degree_cap
         )
+        # one sequential pass materializes the capped set AND the persisted
+        # scored/ranked frames it reads through; the drop logs (and the
+        # checkpoint write that follows) then scan warm caches instead of
+        # re-running the merge/prefilter joins once per consumer
+        capped = tracked_persist(capped)
+        capped.count()
         self._log_hot("prefilter", pre_dropped)
         self._log_hot("degree_cap", cap_dropped)
         return capped
