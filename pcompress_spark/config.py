@@ -19,6 +19,27 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def parse_size(value: str | int) -> int:
+    """Parse a human-friendly size with optional k/m/g/t suffix, e.g.
+    "8k" -> 8192, "2M" -> 2097152 (F13: the analog of the reference's
+    `parse_numeric`, /root/reference/utils/utils.c:150-202 — binary
+    multipliers, case-insensitive, bare integers pass through)."""
+    if isinstance(value, int):
+        return value
+    s = value.strip().lower()
+    if not s:
+        raise ValueError("empty size string")
+    mult = 1
+    if s[-1] in _SUFFIX:
+        mult = _SUFFIX[s[-1]]
+        s = s[:-1]
+    if not s.isdigit():
+        raise ValueError(f"invalid size literal: {value!r}")
+    return int(s) * mult
+
 
 @dataclass(frozen=True)
 class PipelineConfig:
@@ -85,6 +106,22 @@ class PipelineConfig:
         assert self.simhash_blocks >= self.simhash_radius + 1, (
             "pigeonhole needs radius+1 blocks"
         )
+
+    # size-typed fields that accept "8k"/"2M"-style CLI literals
+    _SIZE_FIELDS = frozenset(
+        ("substring_min_len", "min_doc_len", "max_bucket_docs")
+    )
+
+    @classmethod
+    def from_args(cls, **overrides) -> "PipelineConfig":
+        """Build a config from CLI-style overrides; size-typed fields take
+        k/m/g-suffixed strings (reference `-s`/`-B` flag parsing,
+        utils/utils.c:150-202)."""
+        parsed = {
+            k: parse_size(v) if k in cls._SIZE_FIELDS else v
+            for k, v in overrides.items()
+        }
+        return cls(**parsed)
 
 
 DEFAULT_CONFIG = PipelineConfig()

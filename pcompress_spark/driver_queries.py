@@ -369,6 +369,33 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIXED_BLK = 64    # fixed-block width (chars) for the documents table
+
+
+def q_fixed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size block projection + block-level identity dedup [P2 J1 F2]:
+    split each doc into fixed 64-char blocks (the reference's `-F`
+    fixed-block mode, rabin/rabin_dedup.c:513-538), hash every block, and
+    aggregate per distinct block — occurrence count, distinct docs, and
+    the earliest holder (backward-ref representative)."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    blocks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(length(text) / {FIXED_BLK}.0)"
+                f" as int) - 1), i -> sha2(substring(text, i * {FIXED_BLK} + 1,"
+                f" {FIXED_BLK}), 256))"
+            )
+        ).alias("block_sha"),
+    )
+    return blocks.groupBy("block_sha").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline over the embeddings table."""
     emb = _emb(spark, sf_dir)
@@ -502,6 +529,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
+    "fixed_blocks": q_fixed_blocks,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -616,6 +644,19 @@ WITH
 SELECT d0.doc_id, substr(sha256(d0.text), 1, 16) AS fp,
        coalesce(sizes.sz, 0) AS shingle_cnt
 FROM documents d0 LEFT JOIN sizes ON sizes.doc_id = d0.doc_id
+""",
+    "fixed_blocks": f"""
+WITH b AS (
+  SELECT doc_id,
+         sha256(substr(text, CAST(i * {FIXED_BLK} + 1 AS INT), {FIXED_BLK}))
+           AS block_sha
+  FROM documents,
+       unnest(range(0, CAST(ceil(length(text) / {FIXED_BLK}.0) AS BIGINT))) t(i)
+  WHERE length(text) > 0
+)
+SELECT block_sha, count(*) AS n_blocks, count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS rep_doc
+FROM b GROUP BY block_sha
 """,
     "embedding_topk": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
