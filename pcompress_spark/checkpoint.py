@@ -74,6 +74,14 @@ class CheckpointManager:
         self._record(name, out, wall_ms, extra_metrics or {})
         return out
 
+    def note(self, stage: str, wall_ms: int, rows: int = -1, **extra) -> None:
+        """Record a sub-stage lineage row (no table of its own) — used for
+        the in-memory intermediates (channels, prefilter, verify) so the
+        per-stage wall budget is observable without extra barriers."""
+        rec = {"stage": stage, "rows": rows, "wall_ms": wall_ms, **extra}
+        with open(self._lineage_path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
     # -- lineage -----------------------------------------------------------
     def _record(
         self, stage: str, df: DataFrame, wall_ms: int, extra: dict

@@ -71,8 +71,17 @@ class PipelineConfig:
                                      # bucket of m docs spreads its m²/2 pairs
                                      # over g(g+1)/2 join-key cells
     salt_min: int = 256              # buckets larger than this get salted
-    max_bucket_docs: int = 2000      # cap on docs per band bucket (pair explosion
-                                     # guard; drops are logged, never silent)
+    max_bucket_docs: int = 512       # cap on docs per band bucket: larger
+                                     # buckets star-join to their min doc
+                                     # instead of all-pairs (measured at 100k
+                                     # docs: buckets in 513-2000 were 60 of
+                                     # 139k buckets yet 2/3 of all candidate
+                                     # pairs, which the per-doc degree cap
+                                     # later discards anyway; star edges are
+                                     # exact-verified so cluster connectivity
+                                     # is unaffected). Drops are logged,
+                                     # never silent (A7 bounded index,
+                                     # rabin/global/index.c:539-547 analog)
     verify_degree_cap: int = 64      # max verified candidate neighbors per doc
                                      # (top-D by minhash overlap). A clique of m
                                      # boilerplate docs yields O(m*D) verified

@@ -28,6 +28,9 @@ Operator coverage map (SURVEY §2 ids in brackets):
   quality_score         [F12 P3]           length/word/punct quality
   token_counts          [F13-ish]          ws + BPE-ish token accounting
   doc_fingerprint       [F2 F4]            sha-256 prefix fingerprint
+  fixed_blocks          [P2 J1 F2]         fixed 64-char block dedup (-F)
+  reconstruct_audit     [entry point C]    rep-text read-back + hash verify
+  delta_spans           [F11/A3 backrefs]  shared-span delta descriptors
   embedding_topk        [new: ANN baseline] brute-force cosine top-k
   embedding_near_dup    [new]              cosine-threshold near-dup pairs
   embedding_ann_lsh     [new: scale path]  hyperplane-LSH ANN (rows-only)

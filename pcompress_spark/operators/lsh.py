@@ -47,11 +47,17 @@ def band_explode(reps: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def lsh_candidates(
     reps: DataFrame, cfg: PipelineConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """(candidates(id_a, id_b, channel='minhash'), hot_bucket_log).
+    """(candidates(id_a, id_b, mh_overlap, channel='minhash'), hot_log).
 
-    Pairs are dedup'd across the b bands (a J>=0.4 pair co-occurs in ~20
-    buckets; distinct before the expensive verify join — A6 analog,
-    rabin_dedup.c:1042-1058).
+    Pairs are dedup'd across the b bands with a counting groupBy (A6
+    analog, rabin_dedup.c:1042-1058): with r == 1 the number of bands in
+    which a pair co-occurs IS its signature overlap — how many of the
+    K=20 sketch probes matched, the reference's segmented-index hit count
+    — so the downstream signature prefilter and degree-cap ranking get
+    `mh_overlap` for free instead of joining the K-long minhash arrays
+    onto every raw pair (measured 5+ GB of array shuffle at 100k docs).
+    Star-downgraded pairs carry their co-occurrence count like any other
+    (they bypass the signature filter via the cap-survivor rule anyway).
     """
     bands = band_explode(reps, cfg)
     pairs, hot = bucket_pairs(
@@ -61,5 +67,9 @@ def lsh_candidates(
         salt_min=cfg.salt_min,
         salt_groups=cfg.salt_buckets,
     )
-    cands = pairs.distinct().withColumn("channel", F.lit("minhash"))
+    cands = (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("mh_overlap"))
+        .withColumn("channel", F.lit("minhash"))
+    )
     return cands, hot

@@ -2,12 +2,14 @@
 
 Reference: every index hit is re-verified against the full checksum and,
 with verify_chunks, the actual bytes (rabin/rabin_dedup.c:1132-1180,
-:1350-1354). Ours: exact Jaccard on shingle sets for every candidate pair,
-computed JVM-side as a candidate-restricted shingle join — the shingle
-rows are (long, long) pairs, the full text never enters the verify
-shuffle, and no Python runs in the O(|candidates|) hot path. Winnow-channel
-pairs that fail the Jaccard threshold get an exact >=L common-substring
-check (vectorized pandas UDF) before being admitted as `substring` edges.
+:1350-1354). Ours: exact Jaccard on shingle sets for every candidate pair.
+The utf-8 TEXT of each side is joined onto the pair (text is ~8x smaller
+than the doc's int64 shingle-hash array, so this is the cheaper shuffle),
+then one Arrow-batched pandas UDF re-shingles both sides and intersects —
+cost O(|candidates| * shingles_per_doc), independent of corpus size.
+Winnow-channel pairs that fail the Jaccard threshold get an exact >=L
+common-substring check (vectorized pandas UDF) before being admitted as
+`substring` edges.
 
 Shingle sets here are hashed 16-byte windows of the utf-8 text (the
 vectorized numpy polynomial rolling hash in functions/hashing.py — the
@@ -78,15 +80,31 @@ def prefilter_candidates(
     Returns (kept, drop_log(doc_id, n_dropped)) — like the bucket cap and
     degree cap, drops are logged, never silent.
     """
-    sig = reps.select("doc_id", "minhash")
-    a = sig.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("mh_a"))
-    b = sig.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("mh_b"))
-    scored = tracked_persist(
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("mh_overlap", F.size(F.array_intersect("mh_a", "mh_b")))
-        .drop("mh_a", "mh_b")
-    )
+    if "mh_overlap" in candidates.columns:
+        # overlap measured upstream as band co-occurrence (r == 1: band
+        # hash == minhash value, so co-occurrence count == signature
+        # overlap) — no array join needed
+        scored = tracked_persist(
+            candidates.withColumn(
+                "mh_overlap", F.coalesce("mh_overlap", F.lit(0))
+            )
+        )
+    else:
+        sig = reps.select("doc_id", "minhash")
+        a = sig.select(
+            F.col("doc_id").alias("id_a"), F.col("minhash").alias("mh_a")
+        )
+        b = sig.select(
+            F.col("doc_id").alias("id_b"), F.col("minhash").alias("mh_b")
+        )
+        scored = tracked_persist(
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "mh_overlap", F.size(F.array_intersect("mh_a", "mh_b"))
+            )
+            .drop("mh_a", "mh_b")
+        )
     keep = (F.col("mh_overlap") >= min_matches) | (
         F.col("channels") != F.array(F.lit("minhash"))
     )
@@ -135,12 +153,20 @@ def cap_candidate_degree(
 
 def merge_candidates(*channel_dfs: DataFrame) -> DataFrame:
     """Union candidates from all channels, one row per pair with the set of
-    channels that proposed it (SO1 union + A6 distinct)."""
-    unioned = channel_dfs[0]
-    for df in channel_dfs[1:]:
+    channels that proposed it (SO1 union + A6 distinct) and the signature
+    overlap where a channel measured one (minhash band co-occurrence)."""
+    frames = [
+        df
+        if "mh_overlap" in df.columns
+        else df.withColumn("mh_overlap", F.lit(None).cast("int"))
+        for df in channel_dfs
+    ]
+    unioned = frames[0]
+    for df in frames[1:]:
         unioned = unioned.unionByName(df)
     return unioned.groupBy("id_a", "id_b").agg(
-        F.collect_set("channel").alias("channels")
+        F.collect_set("channel").alias("channels"),
+        F.max("mh_overlap").alias("mh_overlap"),
     )
 
 
@@ -149,54 +175,48 @@ def pair_jaccard(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — exact shingle-set Jaccard per candidate pair.
 
-    Per-doc shingle-hash ARRAYS are built once for documents that appear in
-    a candidate pair (semi-join pruning), then each pair's intersection is
-    a codegen `array_intersect` after joining the arrays to both sides:
-    cost O(|candidates| * shingles_per_doc), independent of corpus size.
+    TEXT (not shingle arrays) is joined to both sides of each pair, then
+    one Arrow-batched pandas UDF shingles both sides and intersects
+    (`shingles_for` — the exact function the golden oracle uses, so the
+    sets are identical by construction). A doc's utf-8 text is ~8x
+    smaller than its int64 shingle-hash array; the earlier array-join
+    formulation was shuffle-bound (memory-bandwidth contention capped the
+    verify stage at 0.54 scaling efficiency from 2->8 cores), while
+    re-shingling per pair is ~0.2 ms vectorized. Cost stays
+    O(|candidates| * shingles_per_doc), independent of corpus size.
     Every candidate pair appears in the output, including zero-overlap
     pairs (jaccard = 0.0) — downstream thresholds do the filtering.
     """
-    from pcompress_spark.functions.shingling import make_shingle_hashes_lang_udf
+    from pcompress_spark.functions.shingling import make_jaccard_lang_udf
 
-    docs_in = (
-        candidates.select(F.col("id_a").alias("doc_id"))
-        .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    shingles_udf = make_shingle_hashes_lang_udf(cfg)
     lang_col = (
         F.col("lang") if "lang" in reps_with_text.columns else F.lit("")
     )
-    sh_arr = tracked_persist(
-        reps_with_text.join(docs_in, "doc_id", "left_semi")
-        .select("doc_id", shingles_udf(F.col("text"), lang_col).alias("sh"))
+    texts = reps_with_text.select(
+        "doc_id", "text", lang_col.alias("_lang")
     )
-    # shuffle_hash hints: the array sides have no stats (UDF output), and
-    # a mis-estimated broadcast of a 100s-of-MB array table stalls the
-    # driver; hash-partitioning by doc id is the scale-correct strategy.
-    a = sh_arr.select(
-        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    # shuffle_hash hints: a mis-estimated broadcast of a 100s-of-MB text
+    # table stalls the driver; hash-partitioning by doc id is the
+    # scale-correct strategy.
+    a = texts.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        F.col("_lang").alias("lang_a"),
     ).hint("shuffle_hash")
-    b = sh_arr.select(
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    b = texts.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
+        F.col("_lang").alias("lang_b"),
     ).hint("shuffle_hash")
+    jac_udf = make_jaccard_lang_udf(cfg)
     return (
         candidates.select("id_a", "id_b")
         .join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "union_sz", F.size("sh_a") + F.size("sh_b") - F.col("inter")
-        )
         .select(
             "id_a",
             "id_b",
-            F.when(
-                F.col("union_sz") > 0,
-                F.col("inter").cast("double") / F.col("union_sz").cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("jaccard"),
+            jac_udf("text_a", "lang_a", "text_b", "lang_b").alias("jaccard"),
         )
     )
 

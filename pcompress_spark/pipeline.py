@@ -25,6 +25,7 @@ pcompress.c:2617-2624) is exactly what the shuffle parallelizes.
 
 from __future__ import annotations
 
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -49,6 +50,27 @@ class DedupPipeline:
         self.ckpt = CheckpointManager(
             spark, checkpoint_dir or cfg.checkpoint_dir, resume=resume
         )
+
+    # ------------------------------------------------------- shuffle sizing
+    def _set_shuffle_partitions(self, n: int) -> int:
+        """Size `spark.sql.shuffle.partitions` to the DATA, not the cores.
+
+        Shuffle tasks carrying shingle/window arrays run ~50 KB serialized
+        per pair row and inflate several-fold deserialized; with a
+        cores-derived partition count a 4x corpus means 4x bytes per task
+        and the JVM tips into GC stall (measured: verify join 42s at 150k
+        pairs/32 partitions, 350s at 405k pairs/32 partitions — 2.6x rows,
+        8x wall). Partition count grows with row volume instead; AQE
+        coalesces small stages back down (it can merge partitions but can
+        never split one). Returns the previous setting."""
+        spark = self.spark
+        prev = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        base = int(spark.conf.get("spark.pcompress.baseShufflePartitions", str(prev)))
+        spark.conf.set("spark.pcompress.baseShufflePartitions", str(base))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(base, min(n, 4096)))
+        )
+        return prev
 
     # ------------------------------------------------------------------ run
     def run(self, pages: DataFrame) -> DataFrame:
@@ -76,17 +98,34 @@ class DedupPipeline:
             # channel bucket/candidate caches live only as long as the
             # candidates stage: scope them so verify gets the memory back
             with CacheScope():
-                cands = ckpt.materialize(
-                    "candidates", lambda: self._candidates(need_reps())
-                )
+                # band explode / bucket joins move ~n_docs * bands rows
+                prev = self._set_shuffle_partitions(sigs.count() // 1000)
+                try:
+                    cands = ckpt.materialize(
+                        "candidates", lambda: self._candidates(need_reps())
+                    )
+                finally:
+                    self.spark.conf.set(
+                        "spark.sql.shuffle.partitions", str(prev)
+                    )
 
             with CacheScope():
-                edges = ckpt.materialize(
-                    "edges",
-                    lambda: exact.exact_edges(sigs, groups).unionByName(
-                        self._fuzzy_edges(cands, need_reps())
-                    ),
-                )
+                # the verify join carries two ~25 KB shingle arrays per
+                # candidate pair; ~1.2k pairs/partition ~= 60 MB serialized
+                prev = self._set_shuffle_partitions(cands.count() // 1200)
+                try:
+                    edges = ckpt.materialize(
+                        "edges",
+                        lambda: exact.exact_edges(sigs, groups).unionByName(
+                            self._fuzzy_edges(cands, need_reps())
+                        ),
+                    )
+                finally:
+                    # CC rounds run many small jobs — restore the compact
+                    # cores-derived count before the assignments stage
+                    self.spark.conf.set(
+                        "spark.sql.shuffle.partitions", str(prev)
+                    )
 
             assignments = ckpt.materialize(
                 "assignments", lambda: self._assignments(sigs, edges)
@@ -101,9 +140,11 @@ class DedupPipeline:
         persisted pair-Jaccard frame; forcing it here means the union
         action hits a warm cache instead of concurrently (re)computing the
         verify join once per branch."""
+        t0 = time.time()
         edges_fuzzy = verify.verify_edges(
             cands, reps, self.cfg, eager_jaccard=True
         )
+        self.ckpt.note("verify_jaccard", int((time.time() - t0) * 1000))
         return edges_fuzzy.select("src", "dst", "jaccard", "kind")
 
     # ---------------------------------------------------------- candidates
@@ -115,10 +156,14 @@ class DedupPipeline:
         cfg = self.cfg
 
         def _run(name: str, fn):
+            t0 = time.time()
             c, hot = fn()
             c = tracked_persist(c)
-            c.count()  # materialize this channel's candidates in-thread
+            n = c.count()  # materialize this channel's candidates in-thread
             self._log_hot(name, hot)
+            self.ckpt.note(
+                f"channel_{name}", int((time.time() - t0) * 1000), n
+            )
             return c
 
         channels = [
@@ -140,8 +185,10 @@ class DedupPipeline:
         # scored/ranked frames it reads through; the drop logs (and the
         # checkpoint write that follows) then scan warm caches instead of
         # re-running the merge/prefilter joins once per consumer
+        t0 = time.time()
         capped = tracked_persist(capped)
-        capped.count()
+        n = capped.count()
+        self.ckpt.note("merge_prefilter_cap", int((time.time() - t0) * 1000), n)
         self._log_hot("prefilter", pre_dropped)
         self._log_hot("degree_cap", cap_dropped)
         return capped

@@ -58,38 +58,54 @@ print("SCALERESULT " + json.dumps({{"cpus": {cpus}, "rows": rows,
 
 
 def main() -> None:
-    """N=2 vs 4N=8 cores: this sandbox has 16 physical cores + SMT, so the
-    8→32 logical-thread step measures hyperthreading (hardware ceiling
-    ~2.5x even for perfect code — see BENCH notes); 2→8 stays on physical
-    cores and is the honest N→4N datapoint. Both are reported."""
+    """N=2 vs 4N=8 cores is the honest N→4N datapoint: this sandbox has
+    16 physical cores + SMT, so the 8→32 logical-thread step additionally
+    measures hyperthreading (hardware ceiling ~2.5x even for perfect code
+    — see BENCH notes). All requested legs are measured min-of-N and every
+    adjacent pair's efficiency is reported."""
     docs = 40000
     if "--docs" in sys.argv:
         docs = int(sys.argv[sys.argv.index("--docs") + 1])
-    lo, hi = 2, 8
+    legs = [2, 8]
     if "--cores" in sys.argv:
-        lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cores") + 1].split(","))
-    # two rounds per leg, keep the faster (the sandbox has noisy
-    # co-tenants; min-of-2 approximates quiet-machine performance)
-    runs_lo, runs_hi = [], []
-    for _ in range(2):
-        runs_lo.append(run_at(lo, docs))
-        print(json.dumps(runs_lo[-1]))
-        runs_hi.append(run_at(hi, docs))
-        print(json.dumps(runs_hi[-1]))
-    r_lo = min(runs_lo, key=lambda r: r["wall_s"])
-    r_hi = min(runs_hi, key=lambda r: r["wall_s"])
-    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
-    result = {
-        "docs": docs,
-        f"local{lo}": r_lo,
-        f"local{hi}": r_hi,
-        "speedup": round(r_hi["docs_per_sec"] / r_lo["docs_per_sec"], 3),
-        "scaling_efficiency": round(eff, 3),
-        "criterion": (
-            f"efficiency >= 0.8 from N to 4N cores (N={lo}); "
-            "2->8 used because the box has 16 physical cores + SMT"
-        ),
-    }
+        legs = [int(x) for x in sys.argv[sys.argv.index("--cores") + 1].split(",")]
+    reps = 2
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    # min-of-reps per leg (the sandbox has noisy co-tenants; the minimum
+    # approximates quiet-machine performance), legs interleaved so drift
+    # hits all legs equally
+    runs: dict[int, list] = {c: [] for c in legs}
+    for _ in range(reps):
+        for c in legs:
+            runs[c].append(run_at(c, docs))
+            print(json.dumps(runs[c][-1]), flush=True)
+    best = {c: min(rs, key=lambda r: r["wall_s"]) for c, rs in runs.items()}
+    result: dict = {"docs": docs, "reps": reps}
+    for c in legs:
+        result[f"local{c}"] = best[c]
+    pairs = []
+    for lo, hi in zip(legs, legs[1:]):
+        eff = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / (hi / lo)
+        pairs.append(
+            {
+                "from": lo,
+                "to": hi,
+                "speedup": round(
+                    best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"], 3
+                ),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    result["legs"] = pairs
+    # headline numbers = the first adjacent pair (the physical-core leg)
+    result["speedup"] = pairs[0]["speedup"]
+    result["scaling_efficiency"] = pairs[0]["scaling_efficiency"]
+    result["criterion"] = (
+        f"efficiency >= 0.8 from N to 4N cores (N={legs[0]}); "
+        "2->8 used because the box has 16 physical cores + SMT "
+        "(8->32 additionally crosses into SMT threads)"
+    )
     line = json.dumps(result)
     print(line)
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:

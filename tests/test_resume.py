@@ -55,4 +55,6 @@ def test_lineage_recorded(assignments_run):
     stages = {r["stage"] for r in lineage}
     assert {"sigs", "candidates", "edges", "assignments"} <= stages
     for r in lineage:
-        assert r["rows"] >= 0 and r["bytes"] > 0 and r["wall_ms"] >= 0
+        assert r["wall_ms"] >= 0
+        if "bytes" in r:  # checkpointed stage (note() rows carry no table)
+            assert r["rows"] >= 0 and r["bytes"] > 0
