@@ -70,14 +70,17 @@ class PipelineConfig:
                                      # hot buckets (operators/pairs.py): a
                                      # bucket of m docs spreads its m²/2 pairs
                                      # over g(g+1)/2 join-key cells
-    salt_min: int = 256              # buckets larger than this get salted
-    max_bucket_docs: int = 512       # cap on docs per band bucket: larger
+    salt_min: int = 32               # buckets larger than this get salted
+    max_bucket_docs: int = 64        # cap on docs per band bucket: larger
                                      # buckets star-join to their min doc
                                      # instead of all-pairs (measured at 100k
-                                     # docs: buckets in 513-2000 were 60 of
-                                     # 139k buckets yet 2/3 of all candidate
-                                     # pairs, which the per-doc degree cap
-                                     # later discards anyway; star edges are
+                                     # docs: cap 512 let the band buckets emit
+                                     # 16.7M raw pairs of which prefilter +
+                                     # degree cap kept 43.6k — a 500 MB
+                                     # shuffle feeding a 99.7% discard, and
+                                     # the memory-bandwidth hog that made the
+                                     # three concurrent channels anti-scale at
+                                     # 32 threads; star edges are
                                      # exact-verified so cluster connectivity
                                      # is unaffected). Drops are logged,
                                      # never silent (A7 bounded index,

@@ -171,7 +171,21 @@ class DedupPipeline:
             ("simhash", lambda: simhash.simhash_candidates(reps, cfg)),
             ("winnow", lambda: substring.substring_candidates(reps, cfg)),
         ]
-        with ThreadPoolExecutor(max_workers=len(channels)) as ex:
+        # Concurrency pays when task slots would otherwise idle during a
+        # channel's narrow phases (measured: 2->8-core efficiency rose
+        # 0.50 -> 0.69 when the channels went concurrent). But each
+        # channel runs pandas-UDF stages whose Python workers occupy a
+        # core PER TASK SLOT on top of the JVM threads; with slots >=
+        # physical cores, three concurrent UDF jobs oversubscribe the
+        # memory bus and every channel ran ~2-3x slower at local[32]
+        # (16 physical cores + SMT). One job already saturates a big
+        # slot count, so run sequentially there.
+        workers = (
+            len(channels)
+            if self.spark.sparkContext.defaultParallelism < 16
+            else 1
+        )
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             frames = list(
                 ex.map(lambda nf: _run(nf[0], nf[1]), channels)
             )

@@ -21,7 +21,29 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cpus: int, docs: int) -> dict:
+def gen_input(docs: int) -> str:
+    """Write the input corpus parquet ONCE; every leg reads the identical
+    files — 'same job, same input' is then literal (one byte layout), and
+    the measured window is the ENGINE (scan → dedup → clusters), not
+    synthetic datagen."""
+    path = f"/tmp/scale_input_{docs}"
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from pcompress_spark.session import get_spark
+from pcompress_spark.datagen import gen_pages_spark
+spark = get_spark("gen", master="local[16]")
+gen_pages_spark(spark, {docs}, partitions=64).write.mode(
+    "overwrite").parquet({path!r})
+"""
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, timeout=1800, cwd=REPO,
+        capture_output=True,
+    )
+    return path
+
+
+def run_at(cpus: int, docs: int, input_path: str) -> dict:
     """Run the flagship pipeline in a subprocess; returns timing info.
 
     Spark session startup is excluded from the measured window (the
@@ -29,15 +51,20 @@ def run_at(cpus: int, docs: int) -> dict:
     engine throughput, not JVM boot.
     """
     code = f"""
-import json, time, sys
+import json, time, sys, shutil, tempfile
 sys.path.insert(0, {REPO!r})
 from pcompress_spark.session import get_spark
-from bench import run_pipeline_pages
+from pcompress_spark.pipeline import DedupPipeline
+from pcompress_spark.config import PipelineConfig
 spark = get_spark("scale{cpus}", master="local[{cpus}]")
 spark.range(1000).selectExpr("sum(id)").collect()
+ckpt = tempfile.mkdtemp(prefix="scale_ckpt_")
 t0 = time.time()
-rows = run_pipeline_pages(spark, {docs}, partitions=max({cpus} * 2, 16))
+pages = spark.read.parquet({input_path!r})
+rows = DedupPipeline(spark, PipelineConfig(), checkpoint_dir=ckpt,
+                     resume=False).run(pages).count()
 wall = time.time() - t0
+shutil.rmtree(ckpt, ignore_errors=True)
 print("SCALERESULT " + json.dumps({{"cpus": {cpus}, "rows": rows,
       "wall_s": round(wall, 2), "docs_per_sec": round({docs} / wall, 1)}}))
 """
@@ -75,10 +102,11 @@ def main() -> None:
     # min-of-reps per leg (the sandbox has noisy co-tenants; the minimum
     # approximates quiet-machine performance), legs interleaved so drift
     # hits all legs equally
+    input_path = gen_input(docs)
     runs: dict[int, list] = {c: [] for c in legs}
     for _ in range(reps):
         for c in legs:
-            runs[c].append(run_at(c, docs))
+            runs[c].append(run_at(c, docs, input_path))
             print(json.dumps(runs[c][-1]), flush=True)
     best = {c: min(rs, key=lambda r: r["wall_s"]) for c, rs in runs.items()}
     result: dict = {"docs": docs, "reps": reps}
