@@ -85,6 +85,28 @@ class PipelineConfig:
                                      # is unaffected). Drops are logged,
                                      # never silent (A7 bounded index,
                                      # rabin/global/index.c:539-547 analog)
+    fused_channels: bool = True      # generate all three candidate channels
+                                     # (minhash bands / simhash blocks /
+                                     # winnow anchors) through ONE fused
+                                     # bucket shuffle (operators/fused.py).
+                                     # False = legacy per-channel jobs,
+                                     # kept for A/B and fault isolation.
+    concurrent_channels: bool | str = "auto"
+                                     # legacy (fused_channels=False) path
+                                     # only: run the three channel jobs
+                                     # from worker threads. True = always
+                                     # concurrent (the right default on a
+                                     # multi-node cluster, where each
+                                     # executor brings its own memory
+                                     # bus); False = sequential; "auto" =
+                                     # concurrent only when
+                                     # defaultParallelism < 16 — a
+                                     # SINGLE-BOX heuristic: on one
+                                     # 16-physical-core SMT box, three
+                                     # concurrent pandas-UDF jobs at 32
+                                     # slots oversubscribe the memory bus
+                                     # (measured 2-3x slowdown). Set
+                                     # explicitly on real clusters.
     verify_degree_cap: int = 64      # max verified candidate neighbors per doc
                                      # (top-D by minhash overlap). A clique of m
                                      # boilerplate docs yields O(m*D) verified
@@ -103,6 +125,16 @@ class PipelineConfig:
                                      # guarantee: shared span >= window + stride - 1
                                      # in BOTH docs is caught; 64+992-1=1055 < 2048
                                      # with both-side anchor alignment (see substring.py)
+    substring_screen_mode: str = "auto"
+                                     # window-hash screen before the byte-
+                                     # confirming UDF: "on" | "off" |
+                                     # "auto" (screen only when
+                                     # substring_min_len >= the ~1 KB
+                                     # break-even — the screen arrays cost
+                                     # ~8 bytes/char through two joins, so
+                                     # for short-doc configs they exceed
+                                     # the confirm they save; see
+                                     # verify.confirm_substring_pairs)
 
     # --- verification ---
     verify_tau: float = 0.4          # emit edges with exact jaccard >= this;
@@ -118,6 +150,22 @@ class PipelineConfig:
         assert self.simhash_blocks >= self.simhash_radius + 1, (
             "pigeonhole needs radius+1 blocks"
         )
+        assert self.substring_screen_mode in ("on", "off", "auto"), (
+            "substring_screen_mode must be on/off/auto"
+        )
+        assert self.concurrent_channels in (True, False, "auto"), (
+            "concurrent_channels must be True/False/'auto'"
+        )
+
+    def use_substring_screen(self) -> bool:
+        """Resolve substring_screen_mode: screen iff it is cheaper than the
+        byte-confirm it avoids (break-even ~1 KB min span, see
+        verify.confirm_substring_pairs)."""
+        if self.substring_screen_mode == "on":
+            return True
+        if self.substring_screen_mode == "off":
+            return False
+        return self.substring_min_len >= 1024
 
     # size-typed fields that accept "8k"/"2M"-style CLI literals
     _SIZE_FIELDS = frozenset(

@@ -52,7 +52,7 @@ from pcompress_spark.analysis import embeddings as E
 from pcompress_spark.analysis import multimodal as M
 from pcompress_spark.config import DEFAULT_CONFIG
 from pcompress_spark.functions import text as TX
-from pcompress_spark.functions.shingling import make_lcs_udf, make_sig_udf
+from pcompress_spark.functions.shingling import make_sig_udf
 from pcompress_spark.operators import lsh, simhash, substring
 from pcompress_spark.operators.components import connected_components
 
@@ -289,24 +289,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs sharing a >=96-char verbatim span: winnowing anchors (guarantee
-    79 chars) -> bucket join -> JVM window-hash screen -> byte-confirm
-    [F11/W1]. Per-doc window hashes are computed once; the per-pair work is
-    a codegen array_intersect, and the Python byte-confirmation runs only
-    on hash hits."""
-    from pcompress_spark.operators.verify import substring_screen
+    79 chars) -> bucket join -> byte-confirm [F11/W1]. The window-hash
+    screen is mode-gated (cfg.use_substring_screen): at this table's
+    96-char spans the screen arrays cost more than the confirm they save
+    (the r2 regression), so `auto` confirms directly on text; the
+    production 2048-char config keeps the screen."""
+    from pcompress_spark.operators.verify import confirm_substring_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     cands, _hot = substring.substring_candidates(docs, DOC_CFG)
-    hits = substring_screen(cands.select("id_a", "id_b").distinct(), docs, DOC_CFG)
-    texts_a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
-    texts_b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
-    lcs_udf = make_lcs_udf(DOC_CFG)
-    return (
-        hits.join(texts_a, "id_a")
-        .join(texts_b, "id_b")
-        .filter(lcs_udf("text_a", "text_b"))
-        .select("id_a", "id_b")
-    )
+    return confirm_substring_pairs(
+        cands.select("id_a", "id_b").distinct(), docs, DOC_CFG
+    ).select("id_a", "id_b")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,7 +47,8 @@ def band_explode(reps: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def lsh_candidates(
     reps: DataFrame, cfg: PipelineConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """(candidates(id_a, id_b, mh_overlap, channel='minhash'), hot_log).
+    """(candidates(id_a, id_b, mh_overlap, is_star, channel='minhash'),
+    hot_log).
 
     Pairs are dedup'd across the b bands with a counting groupBy (A6
     analog, rabin_dedup.c:1042-1058): with r == 1 the number of bands in
@@ -56,8 +57,13 @@ def lsh_candidates(
     — so the downstream signature prefilter and degree-cap ranking get
     `mh_overlap` for free instead of joining the K-long minhash arrays
     onto every raw pair (measured 5+ GB of array shuffle at 100k docs).
-    Star-downgraded pairs carry their co-occurrence count like any other
-    (they bypass the signature filter via the cap-survivor rule anyway).
+    Two cases where the count is NOT signature overlap, both handled:
+    - star-downgraded pairs (is_star): their over-cap bucket suppressed
+      member-member emission, so the count undercounts — the prefilter
+      EXEMPTS is_star pairs from the min-matches gate;
+    - r > 1 banding: band co-occurrence maxes out at b (a J=0.8 pair
+      expects ~1.3 band matches at b=4/r=5), so mh_overlap is emitted
+      null and the prefilter falls back to exact array-intersect.
     """
     bands = band_explode(reps, cfg)
     pairs, hot = bucket_pairs(
@@ -67,9 +73,13 @@ def lsh_candidates(
         salt_min=cfg.salt_min,
         salt_groups=cfg.salt_buckets,
     )
+    if cfg.lsh_rows == 1:
+        overlap = F.count(F.lit(1)).cast("int")
+    else:
+        overlap = F.max(F.lit(None).cast("int"))
     cands = (
         pairs.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("mh_overlap"))
+        .agg(overlap.alias("mh_overlap"), F.max("is_star").alias("is_star"))
         .withColumn("channel", F.lit("minhash"))
     )
     return cands, hot

@@ -53,13 +53,22 @@ def bucket_pairs(
     id_col: str = "doc_id",
     salt_min: int = 256,
     salt_groups: int = 16,
+    carry: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """All candidate pairs (id_a < id_b) from same-bucket co-occurrence.
 
     Returns (pairs, hot_buckets) where hot_buckets is the log of buckets
     that exceeded `cap` and were star-connected instead of all-paired:
     (key_cols…, n_docs).
-    """
+
+    Pair columns: (id_a, id_b, *carry, is_star). `carry` names key columns
+    to re-emit on each pair (equal on both sides by construction — used by
+    the fused channel path to keep the channel tag). `is_star` is true for
+    pairs produced by the over-cap star downgrade: their bucket suppressed
+    member-member emission, so any per-bucket co-occurrence count derived
+    from them UNDERCOUNTS — downstream count-based filters must exempt
+    star pairs (see verify.prefilter_candidates)."""
+    carry = carry or []
     # bands must partition [0, inf): small <= salt_min < med <= cap < star
     salt_min = min(salt_min, cap)
     # the bucket frame is referenced several times (stats + join sides) —
@@ -75,7 +84,10 @@ def bucket_pairs(
     cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     small_pairs = a.join(b, cond).select(
-        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{k}").alias(k) for k in carry],
+        F.lit(False).alias("is_star"),
     )
 
     # salted triangle join for hot-but-allowed buckets
@@ -99,12 +111,18 @@ def bucket_pairs(
         | ((F.col("a.ci") == F.col("a._q")) & (F.col("a.cj") == F.col("a._q"))),
     ]
     med_pairs = ma.join(mb, mcond).select(
-        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{k}").alias(k) for k in carry],
+        F.lit(False).alias("is_star"),
     )
 
     big = joined.filter((F.col("_n") > cap) & (F.col(id_col) != F.col("_rep")))
     star_pairs = big.select(
-        F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+        F.col("_rep").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        *[F.col(k) for k in carry],
+        F.lit(True).alias("is_star"),
     )
 
     hot = stats.filter(F.col("_n") > cap).select(

@@ -53,7 +53,7 @@ def simhash_candidates(
         salt_min=cfg.salt_min,
         salt_groups=cfg.salt_buckets,
     )
-    pairs = pairs.distinct()
+    pairs = pairs.groupBy("id_a", "id_b").agg(F.max("is_star").alias("is_star"))
     sims = reps.select("doc_id", "simhash")
     a = sims.alias("sa")
     b = sims.alias("sb")
@@ -65,7 +65,7 @@ def simhash_candidates(
             F.bit_count(F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))),
         )
         .filter(F.col("hamming") <= cfg.simhash_radius)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "is_star")
         .withColumn("channel", F.lit("simhash"))
     )
     return joined, hot

@@ -24,19 +24,22 @@ def anchor_explode(
     reps_with_text: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
     """(doc_id, anchor) rows; docs shorter than min span are pruned early —
-    they cannot participate (predicate pushdown-friendly length filter)."""
+    they cannot participate (predicate pushdown-friendly length filter).
+    In-doc anchor dedup is array_distinct BEFORE the explode (anchors of
+    one doc live in one array) — no extra shuffle."""
     anchors_udf = make_anchors_udf(cfg)
-    return (
-        reps_with_text.filter(F.length("text") >= cfg.substring_min_len)
-        .select("doc_id", F.explode(anchors_udf("text")).alias("anchor"))
-        .distinct()
+    return reps_with_text.filter(
+        F.length("text") >= cfg.substring_min_len
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(anchors_udf("text"))).alias("anchor"),
     )
 
 
 def substring_candidates(
     reps_with_text: DataFrame, cfg: PipelineConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """(candidates(id_a, id_b, channel='winnow'), hot_bucket_log)."""
+    """(candidates(id_a, id_b, is_star, channel='winnow'), hot_bucket_log)."""
     anchors = anchor_explode(reps_with_text, cfg)
     pairs, hot = bucket_pairs(
         anchors,
@@ -45,4 +48,7 @@ def substring_candidates(
         salt_min=cfg.salt_min,
         salt_groups=cfg.salt_buckets,
     )
-    return pairs.distinct().withColumn("channel", F.lit("winnow")), hot
+    deduped = pairs.groupBy("id_a", "id_b").agg(
+        F.max("is_star").alias("is_star")
+    )
+    return deduped.withColumn("channel", F.lit("winnow")), hot

@@ -62,7 +62,10 @@ def attach_texts(
 
 
 def prefilter_candidates(
-    candidates: DataFrame, reps: DataFrame, min_matches: int = 3
+    candidates: DataFrame,
+    reps: DataFrame,
+    min_matches: int = 3,
+    overlap_from_bands: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Signature-level pre-filter before exact verification — the
     distributed analog of the reference probing the full checksum before
@@ -77,18 +80,27 @@ def prefilter_candidates(
     usually also proposed by the simhash/winnow channels, which bypass
     this filter (their own verification is already strong).
 
+    Exemptions from the min-matches gate (recall safety):
+    - pairs proposed by any non-minhash channel (`channels` has more than
+      'minhash');
+    - star-downgraded pairs (`is_star`): their over-cap bucket suppressed
+      member-member emission, so band co-occurrence UNDERCOUNTS signature
+      overlap — filtering them on the undercounted value would split
+      boilerplate-heavy clusters.
+    `overlap_from_bands=False` (required when cfg.lsh_rows != 1, where
+    band co-occurrence is NOT signature overlap) discards any upstream
+    counts and recomputes overlap exactly via array_intersect on the
+    minhash signatures.
+
     Returns (kept, drop_log(doc_id, n_dropped)) — like the bucket cap and
     degree cap, drops are logged, never silent.
     """
-    if "mh_overlap" in candidates.columns:
+    if "mh_overlap" in candidates.columns and overlap_from_bands:
         # overlap measured upstream as band co-occurrence (r == 1: band
         # hash == minhash value, so co-occurrence count == signature
-        # overlap) — no array join needed
-        scored = tracked_persist(
-            candidates.withColumn(
-                "mh_overlap", F.coalesce("mh_overlap", F.lit(0))
-            )
-        )
+        # overlap) — no array join needed. Null (non-minhash channels)
+        # stays null: the degree cap ranks those channel-aware.
+        scored = tracked_persist(candidates)
     else:
         sig = reps.select("doc_id", "minhash")
         a = sig.select(
@@ -98,15 +110,21 @@ def prefilter_candidates(
             F.col("doc_id").alias("id_b"), F.col("minhash").alias("mh_b")
         )
         scored = tracked_persist(
-            candidates.join(a, "id_a")
+            candidates.drop("mh_overlap")
+            .join(a, "id_a")
             .join(b, "id_b")
             .withColumn(
                 "mh_overlap", F.size(F.array_intersect("mh_a", "mh_b"))
             )
             .drop("mh_a", "mh_b")
         )
-    keep = (F.col("mh_overlap") >= min_matches) | (
-        F.col("channels") != F.array(F.lit("minhash"))
+    is_star = (
+        F.col("is_star") if "is_star" in scored.columns else F.lit(False)
+    )
+    keep = (
+        (F.coalesce(F.col("mh_overlap"), F.lit(0)) >= min_matches)
+        | (F.col("channels") != F.array(F.lit("minhash")))
+        | is_star
     )
     dropped = (
         scored.filter(~keep)
@@ -118,7 +136,7 @@ def prefilter_candidates(
 
 
 def cap_candidate_degree(
-    candidates: DataFrame, cap: int
+    candidates: DataFrame, cap: int, null_rank: int = 3
 ) -> tuple[DataFrame, DataFrame]:
     """Keep a pair when EITHER endpoint ranks it among its own top-`cap`
     candidates (by minhash overlap desc, then partner id) — the per-node
@@ -127,10 +145,22 @@ def cap_candidate_degree(
     min(cap, degree) strongest links, so uniform cliques stay one
     connected component for CC. Returns (kept, drop_log(doc_id,
     n_dropped)); drops are logged, never silent.
+
+    Pairs with null mh_overlap were proposed ONLY by the simhash/winnow
+    channels, whose own gates (hamming ball / verbatim anchor match) are
+    stronger evidence than a weak band count — ranking them at 0 would let
+    junk minhash candidates evict a true simhash-proposed near-dup in
+    dense neighborhoods. They rank at `null_rank` (default == the
+    prefilter's min_matches floor): above every pair weak enough that the
+    prefilter would have cut it, below well-supported minhash pairs.
     """
     from pyspark.sql import Window
 
-    ov = F.col("mh_overlap") if "mh_overlap" in candidates.columns else F.lit(0)
+    ov = (
+        F.coalesce(F.col("mh_overlap"), F.lit(null_rank))
+        if "mh_overlap" in candidates.columns
+        else F.lit(0)
+    )
     wa = Window.partitionBy("id_a").orderBy(ov.desc(), F.col("id_b").asc())
     wb = Window.partitionBy("id_b").orderBy(ov.desc(), F.col("id_a").asc())
     # persisted: both the kept set and the drop log read the ranked frame
@@ -153,20 +183,25 @@ def cap_candidate_degree(
 
 def merge_candidates(*channel_dfs: DataFrame) -> DataFrame:
     """Union candidates from all channels, one row per pair with the set of
-    channels that proposed it (SO1 union + A6 distinct) and the signature
-    overlap where a channel measured one (minhash band co-occurrence)."""
-    frames = [
-        df
-        if "mh_overlap" in df.columns
-        else df.withColumn("mh_overlap", F.lit(None).cast("int"))
-        for df in channel_dfs
-    ]
+    channels that proposed it (SO1 union + A6 distinct), the signature
+    overlap where a channel measured one (minhash band co-occurrence),
+    and the star-downgrade flag (any channel)."""
+
+    def _norm(df: DataFrame) -> DataFrame:
+        if "mh_overlap" not in df.columns:
+            df = df.withColumn("mh_overlap", F.lit(None).cast("int"))
+        if "is_star" not in df.columns:
+            df = df.withColumn("is_star", F.lit(False))
+        return df.select("id_a", "id_b", "channel", "mh_overlap", "is_star")
+
+    frames = [_norm(df) for df in channel_dfs]
     unioned = frames[0]
     for df in frames[1:]:
         unioned = unioned.unionByName(df)
     return unioned.groupBy("id_a", "id_b").agg(
         F.collect_set("channel").alias("channels"),
         F.max("mh_overlap").alias("mh_overlap"),
+        F.max("is_star").alias("is_star"),
     )
 
 
@@ -256,19 +291,39 @@ def verify_edges(
         .filter(F.col("jaccard") < cfg.tau_extra)
         .select("id_a", "id_b", "jaccard")
     )
-    sub_hits = substring_screen(sub_cand, reps_with_text, cfg)
-    lcs_udf = make_lcs_udf(cfg)
-    sub = (
-        attach_texts(sub_hits, reps_with_text)
-        .filter(lcs_udf("text_a", "text_b"))
-        .select(
-            F.col("id_a").alias("src"),
-            F.col("id_b").alias("dst"),
-            "jaccard",
-            F.lit("substring").alias("kind"),
-        )
+    sub = confirm_substring_pairs(sub_cand, reps_with_text, cfg).select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        "jaccard",
+        F.lit("substring").alias("kind"),
     )
     return near.unionByName(sub)
+
+
+def confirm_substring_pairs(
+    sub_cand: DataFrame, reps_with_text: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Byte-confirm a >= substring_min_len shared span on candidate pairs;
+    keeps sub_cand's columns, drops unconfirmed pairs.
+
+    Screen economics: the window-hash screen precomputes one long per char
+    offset per doc (~8 bytes/char, ~8x the utf-8 text) and ships the
+    arrays through two shuffle joins, to SAVE a byte-confirming pandas UDF
+    per pair — the same probe-the-cheap-key-before-memcmp idea as the
+    reference (rabin_dedup.c:1132-1180), and like there, the screen must
+    stay cheaper than what it screens. At the production min_len (2048,
+    long docs) it does; at short-doc configs it costs more than the
+    confirm (measured: dedup_substring 22.6 -> 37.9 s at sf0.1 when the
+    screen ran unconditionally — r2 verdict), so `auto` mode screens only
+    for min_len >= the break-even (cfg.use_substring_screen)."""
+    if cfg.use_substring_screen():
+        sub_cand = substring_screen(sub_cand, reps_with_text, cfg)
+    lcs_udf = make_lcs_udf(cfg)
+    return (
+        attach_texts(sub_cand, reps_with_text)
+        .filter(lcs_udf("text_a", "text_b"))
+        .drop("text_a", "text_b")
+    )
 
 
 def substring_screen(

@@ -8,10 +8,12 @@ scaling bottleneck):
                 │
                 ├── text_groups / exact_edges / reps      (lazy, cheap)
                 │
-                ▼      three channels run CONCURRENTLY (one Spark job each,
-            [candidates]  submitted from worker threads; FAIR scheduler)
-                │         minhash bands ∥ simhash blocks ∥ winnow anchors
-                │         → union → signature prefilter → degree cap
+                ▼      ONE fused bucket shuffle carries all three channels
+            [candidates]  (minhash bands + simhash blocks + winnow anchors
+                │          → fused keyed frame → salted self-join → per-pair
+                │          agg → signature prefilter → degree cap);
+                │          cfg.fused_channels=False runs the legacy
+                │          per-channel jobs (optionally concurrent)
                 ▼
              [edges]   exact ∪ verified fuzzy (jaccard / substring confirm)
                 │
@@ -33,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pcompress_spark.cache import CacheScope, tracked_persist
 from pcompress_spark.config import DEFAULT_CONFIG, PipelineConfig
 from pcompress_spark.checkpoint import CheckpointManager
-from pcompress_spark.operators import exact, lsh, simhash, substring, verify
+from pcompress_spark.operators import exact, fused, lsh, simhash, substring, verify
 from pcompress_spark.operators.components import connected_components
 
 
@@ -149,10 +151,55 @@ class DedupPipeline:
 
     # ---------------------------------------------------------- candidates
     def _candidates(self, reps: DataFrame) -> DataFrame:
-        """Run the three independent candidate channels as concurrent Spark
-        jobs (threads share the SparkContext; with the FAIR scheduler their
-        stages interleave, so the cluster is busy even while any one
-        channel sits in a narrow phase), then merge + prefilter + cap."""
+        """Candidate generation + merge + prefilter + degree cap.
+
+        Default (cfg.fused_channels): ONE fused bucket shuffle carries all
+        three channels (operators/fused.py) — one persist, one stats
+        groupBy, one salted self-join, one per-pair aggregation. The
+        legacy path (fused_channels=False) runs the three channels as
+        separate Spark jobs, optionally concurrent."""
+        cfg = self.cfg
+        if cfg.fused_channels:
+            merged = self._candidates_fused(reps)
+        else:
+            merged = self._candidates_legacy(reps)
+        filtered, pre_dropped = verify.prefilter_candidates(
+            merged, reps, overlap_from_bands=(cfg.lsh_rows == 1)
+        )
+        capped, cap_dropped = verify.cap_candidate_degree(
+            filtered, cfg.verify_degree_cap
+        )
+        # one sequential pass materializes the capped set AND the persisted
+        # scored/ranked frames it reads through; the drop logs (and the
+        # checkpoint write that follows) then scan warm caches instead of
+        # re-running the merge/prefilter joins once per consumer
+        t0 = time.time()
+        capped = tracked_persist(capped)
+        n = capped.count()
+        self.ckpt.note("merge_prefilter_cap", int((time.time() - t0) * 1000), n)
+        self._log_hot("prefilter", pre_dropped)
+        self._log_hot("degree_cap", cap_dropped)
+        return capped
+
+    def _candidates_fused(self, reps: DataFrame) -> DataFrame:
+        """One fused explode -> bucket_pairs pass for all three channels
+        (the 2->8-core scaling fix: a third of the shuffle bytes/stages of
+        the per-channel jobs). Hot-bucket logs stay per-channel files."""
+        t0 = time.time()
+        merged, hot = fused.fused_candidates(reps, self.cfg)
+        merged = tracked_persist(merged)
+        n = merged.count()
+        self.ckpt.note("channels_fused", int((time.time() - t0) * 1000), n)
+        hot = tracked_persist(hot)
+        for ch_val, name in fused.CHANNEL_NAMES.items():
+            self._log_hot(name, hot.filter(F.col("ch") == ch_val).drop("ch"))
+        return merged
+
+    def _candidates_legacy(self, reps: DataFrame) -> DataFrame:
+        """Three per-channel Spark jobs, optionally concurrent (threads
+        share the SparkContext; with the FAIR scheduler their stages
+        interleave, so the cluster is busy even while any one channel sits
+        in a narrow phase)."""
         cfg = self.cfg
 
         def _run(name: str, fn):
@@ -171,41 +218,21 @@ class DedupPipeline:
             ("simhash", lambda: simhash.simhash_candidates(reps, cfg)),
             ("winnow", lambda: substring.substring_candidates(reps, cfg)),
         ]
-        # Concurrency pays when task slots would otherwise idle during a
-        # channel's narrow phases (measured: 2->8-core efficiency rose
-        # 0.50 -> 0.69 when the channels went concurrent). But each
-        # channel runs pandas-UDF stages whose Python workers occupy a
-        # core PER TASK SLOT on top of the JVM threads; with slots >=
-        # physical cores, three concurrent UDF jobs oversubscribe the
-        # memory bus and every channel ran ~2-3x slower at local[32]
-        # (16 physical cores + SMT). One job already saturates a big
-        # slot count, so run sequentially there.
-        workers = (
-            len(channels)
-            if self.spark.sparkContext.defaultParallelism < 16
-            else 1
-        )
+        # cfg.concurrent_channels: True on multi-node clusters (each
+        # executor brings its own memory bus); "auto" applies the
+        # single-box heuristic — three concurrent pandas-UDF jobs at >= 16
+        # local slots oversubscribe one socket's memory bus (measured
+        # 2-3x per-channel slowdown at local[32], 16 phys cores + SMT).
+        if cfg.concurrent_channels == "auto":
+            concurrent = self.spark.sparkContext.defaultParallelism < 16
+        else:
+            concurrent = bool(cfg.concurrent_channels)
+        workers = len(channels) if concurrent else 1
         with ThreadPoolExecutor(max_workers=workers) as ex:
             frames = list(
                 ex.map(lambda nf: _run(nf[0], nf[1]), channels)
             )
-
-        merged = verify.merge_candidates(*frames)
-        filtered, pre_dropped = verify.prefilter_candidates(merged, reps)
-        capped, cap_dropped = verify.cap_candidate_degree(
-            filtered, cfg.verify_degree_cap
-        )
-        # one sequential pass materializes the capped set AND the persisted
-        # scored/ranked frames it reads through; the drop logs (and the
-        # checkpoint write that follows) then scan warm caches instead of
-        # re-running the merge/prefilter joins once per consumer
-        t0 = time.time()
-        capped = tracked_persist(capped)
-        n = capped.count()
-        self.ckpt.note("merge_prefilter_cap", int((time.time() - t0) * 1000), n)
-        self._log_hot("prefilter", pre_dropped)
-        self._log_hot("degree_cap", cap_dropped)
-        return capped
+        return verify.merge_candidates(*frames)
 
     # ---------------------------------------------------------- assignments
     def _assignments(self, sigs: DataFrame, edges: DataFrame) -> DataFrame:

@@ -61,12 +61,17 @@ spark.range(1000).selectExpr("sum(id)").collect()
 ckpt = tempfile.mkdtemp(prefix="scale_ckpt_")
 t0 = time.time()
 pages = spark.read.parquet({input_path!r})
-rows = DedupPipeline(spark, PipelineConfig(), checkpoint_dir=ckpt,
-                     resume=False).run(pages).count()
+pipe = DedupPipeline(spark, PipelineConfig(), checkpoint_dir=ckpt,
+                     resume=False)
+rows = pipe.run(pages).count()
 wall = time.time() - t0
+stages = {{}}
+for rec in pipe.ckpt.lineage():
+    stages[rec["stage"]] = stages.get(rec["stage"], 0) + rec["wall_ms"]
 shutil.rmtree(ckpt, ignore_errors=True)
 print("SCALERESULT " + json.dumps({{"cpus": {cpus}, "rows": rows,
-      "wall_s": round(wall, 2), "docs_per_sec": round({docs} / wall, 1)}}))
+      "wall_s": round(wall, 2), "docs_per_sec": round({docs} / wall, 1),
+      "stages_ms": stages}}))
 """
     t0 = time.time()
     out = subprocess.run(
@@ -115,6 +120,13 @@ def main() -> None:
     pairs = []
     for lo, hi in zip(legs, legs[1:]):
         eff = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / (hi / lo)
+        # per-stage efficiency: which stage stops scaling (measured, not
+        # guessed — the r2 verdict's lever (c))
+        stage_eff = {}
+        lo_st, hi_st = best[lo].get("stages_ms", {}), best[hi].get("stages_ms", {})
+        for st in sorted(set(lo_st) & set(hi_st)):
+            if lo_st[st] > 0 and hi_st[st] > 0:
+                stage_eff[st] = round((lo_st[st] / hi_st[st]) / (hi / lo), 3)
         pairs.append(
             {
                 "from": lo,
@@ -123,12 +135,14 @@ def main() -> None:
                     best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"], 3
                 ),
                 "scaling_efficiency": round(eff, 3),
+                "stage_efficiency": stage_eff,
             }
         )
     result["legs"] = pairs
-    # headline numbers = the first adjacent pair (the physical-core leg)
-    result["speedup"] = pairs[0]["speedup"]
-    result["scaling_efficiency"] = pairs[0]["scaling_efficiency"]
+    if pairs:
+        # headline numbers = the first adjacent pair (the physical-core leg)
+        result["speedup"] = pairs[0]["speedup"]
+        result["scaling_efficiency"] = pairs[0]["scaling_efficiency"]
     result["criterion"] = (
         f"efficiency >= 0.8 from N to 4N cores (N={legs[0]}); "
         "2->8 used because the box has 16 physical cores + SMT "
