@@ -199,21 +199,10 @@ def lsh_ann_topk(
     bits so corpus/2^bits rows fit a partition, add tables for recall);
     recall is measured against `brute_force_topk` in tests, never assumed.
     """
-    bucket_udf = make_bucket_udf(hyperplanes_mt(dim, bits, tables, seed))
-    tagged = (
-        corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-        .withColumn("bucket", F.explode(bucket_udf(F.col("v"))))
-    )
-    a = tagged.alias("a")
-    b = tagged.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
-        .distinct()
+    cands = lsh_bucket_candidates(
+        corpus, bits, tables, dim, seed, id_col, vec_col, directed=True
+    ).select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
     )
     base = corpus.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
@@ -245,6 +234,78 @@ def hyperplanes_mt(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarr
     """Deterministic (tables, bits, dim) Gaussian hyperplane tensor."""
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.standard_normal((tables, bits, dim))
+
+
+def lsh_bucket_candidates(
+    corpus: DataFrame,
+    bits: int,
+    tables: int,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    directed: bool = False,
+) -> DataFrame:
+    """Candidate pairs from multi-table hyperplane-LSH bucket co-occurrence
+    — the ONE bucket machinery both the ANN top-k and the recall
+    certificate run through (a certificate of a different code path would
+    certify nothing). directed=True emits both (a,b) and (b,a) (top-k
+    neighbor lists); False emits unordered id_a < id_b pairs."""
+    bucket_udf = make_bucket_udf(hyperplanes_mt(dim, bits, tables, seed))
+    tagged = corpus.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("bucket", F.explode(bucket_udf(F.col("v"))))
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    rel = (
+        F.col("a.id") != F.col("b.id")
+        if directed
+        else F.col("a.id") < F.col("b.id")
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & rel)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ann_recall_certify(
+    corpus: DataFrame,
+    threshold: float,
+    bits: int = 3,
+    tables: int = 24,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall lower-bound certificate for the LSH-bucketed ANN path:
+    one row per STRONG pair (exact cosine >= threshold, computed by the
+    exact triangle-grid join — SQL-expressible ground truth) with
+    `retrieved` = whether hyperplane-LSH bucket co-occurrence proposed the
+    pair. The paired oracle asserts retrieved == true for every strong
+    pair, turning 'approximate by design' into a driver-checkable recall
+    floor (the reference likewise round-trip-verifies even its
+    approximate similarity index, test/t4.tst).
+
+    Config note: b=3/T=24 retrieves every >= 0.4-cosine pair of the
+    test corpus at every sf with margin (miss probability per pair
+    (1-(1-θ/π)^3)^24 ≈ 2e-5 at cos 0.4); the sub-linear scale shape is
+    the same as lsh_ann_topk's — this IS the same bucket join."""
+    strong = cosine_pairs_above(
+        corpus, threshold, id_col=id_col, vec_col=vec_col
+    )
+    cands = lsh_bucket_candidates(
+        corpus, bits, tables, dim, seed, id_col, vec_col, directed=False
+    )
+    return strong.join(
+        cands.withColumn("retrieved", F.lit(True)), ["id_a", "id_b"], "left"
+    ).select(
+        "id_a",
+        "id_b",
+        "cos_sim",
+        F.coalesce("retrieved", F.lit(False)).alias("retrieved"),
+    )
 
 
 def _triangle_cells(q, g: int):

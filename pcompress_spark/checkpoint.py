@@ -7,18 +7,70 @@ stages whose table already committed. On a real cluster the format is
 Iceberg (atomic snapshot commit); the sandbox writes parquet directories,
 whose `_SUCCESS` marker plays the role of the snapshot commit.
 
+Storage-agnostic: every probe/mutation goes through the Hadoop FileSystem
+API resolved from the checkpoint URI's scheme (file://, hdfs://, s3a://,
+...), never os.path/shutil — a local-FS probe on an object-store
+deployment would silently degrade resume to never-resume and lose lineage
+(the exact bug class round 2 fixed in streaming via `_try_read_seen`,
+streaming/ingest.py). The reference's commit machinery is likewise
+storage-real (index.c:335-453, pcompress.c:2909-2917).
+
 Lineage (metadata stream analog, meta_stream.c): one row per stage with
-rows / bytes / dup_ratio / wall_ms, appended to `_lineage`.
+rows / bytes / dup_ratio / wall_ms. Records accumulate driver-side and the
+`_lineage.json` file is atomically rewritten through the filesystem on
+each append — append() is not supported on object stores, full rewrite of
+a small metadata file is.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class _HadoopFs:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for the scheme of
+    `base_uri` (py4j; driver-side metadata ops only — data moves through
+    Spark reads/writes, never through this class)."""
+
+    def __init__(self, spark: SparkSession, base_uri: str) -> None:
+        jvm = spark._jvm
+        self._jPath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jPath(base_uri).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        self._jvm = jvm
+
+    def exists(self, uri: str) -> bool:
+        return self._fs.exists(self._jPath(uri))
+
+    def delete(self, uri: str) -> None:
+        self._fs.delete(self._jPath(uri), True)
+
+    def mkdirs(self, uri: str) -> None:
+        self._fs.mkdirs(self._jPath(uri))
+
+    def size(self, uri: str) -> int:
+        return int(self._fs.getContentSummary(self._jPath(uri)).getLength())
+
+    def write_text(self, uri: str, data: str) -> None:
+        out = self._fs.create(self._jPath(uri), True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, uri: str) -> str:
+        stream = self._fs.open(self._jPath(uri))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
 
 
 class CheckpointManager:
@@ -30,25 +82,30 @@ class CheckpointManager:
         resume: bool = True,
     ) -> None:
         self.spark = spark
-        self.base_dir = base_dir
+        self.base_dir = base_dir.rstrip("/")
         self.fmt = fmt
         self.resume = resume
-        os.makedirs(base_dir, exist_ok=True)
-        self._lineage_path = os.path.join(base_dir, "_lineage.jsonl")
+        self.fs = _HadoopFs(spark, self.base_dir)
+        self.fs.mkdirs(self.base_dir)
+        self._lineage_path = f"{self.base_dir}/_lineage.json"
+        self._lineage_lock = threading.Lock()
+        # resume case: a prior run's lineage is the prefix of this one
+        self._lineage_rows: list[dict] = self._load_lineage()
 
     # -- paths / existence ------------------------------------------------
     def path(self, name: str) -> str:
-        return os.path.join(self.base_dir, name)
+        return f"{self.base_dir}/{name}"
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+        return self.fs.exists(f"{self.path(name)}/_SUCCESS")
 
     def clear(self, name: str | None = None) -> None:
         if name is None:
-            shutil.rmtree(self.base_dir, ignore_errors=True)
-            os.makedirs(self.base_dir, exist_ok=True)
+            self.fs.delete(self.base_dir)
+            self.fs.mkdirs(self.base_dir)
+            self._lineage_rows = []
         else:
-            shutil.rmtree(self.path(name), ignore_errors=True)
+            self.fs.delete(self.path(name))
 
     # -- save / load -------------------------------------------------------
     def load(self, name: str) -> DataFrame:
@@ -78,34 +135,42 @@ class CheckpointManager:
         """Record a sub-stage lineage row (no table of its own) — used for
         the in-memory intermediates (channels, prefilter, verify) so the
         per-stage wall budget is observable without extra barriers."""
-        rec = {"stage": stage, "rows": rows, "wall_ms": wall_ms, **extra}
-        with open(self._lineage_path, "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
+        self._append_lineage(
+            {"stage": stage, "rows": rows, "wall_ms": wall_ms, **extra}
+        )
 
     # -- lineage -----------------------------------------------------------
     def _record(
         self, stage: str, df: DataFrame, wall_ms: int, extra: dict
     ) -> None:
         rows = df.count()  # metadata-only count from parquet footers
-        nbytes = 0
-        for root, _, files in os.walk(self.path(stage)):
-            nbytes += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if not f.startswith(".")
+        nbytes = self.fs.size(self.path(stage))
+        self._append_lineage(
+            {
+                "stage": stage,
+                "rows": rows,
+                "bytes": nbytes,
+                "wall_ms": wall_ms,
+                **extra,
+            }
+        )
+
+    def _append_lineage(self, rec: dict) -> None:
+        # lock: legacy concurrent channels note() from worker threads; the
+        # rewrite must serialize (atomic full rewrite, not append — append
+        # is unsupported on object stores, a small metadata rewrite is not)
+        with self._lineage_lock:
+            self._lineage_rows.append(rec)
+            self.fs.write_text(
+                self._lineage_path,
+                "\n".join(json.dumps(r) for r in self._lineage_rows) + "\n",
             )
-        rec = {
-            "stage": stage,
-            "rows": rows,
-            "bytes": nbytes,
-            "wall_ms": wall_ms,
-            **extra,
-        }
-        with open(self._lineage_path, "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
+
+    def _load_lineage(self) -> list[dict]:
+        if not self.fs.exists(self._lineage_path):
+            return []
+        text = self.fs.read_text(self._lineage_path)
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
 
     def lineage(self) -> list[dict]:
-        if not os.path.exists(self._lineage_path):
-            return []
-        with open(self._lineage_path) as fh:
-            return [json.loads(line) for line in fh if line.strip()]
+        return list(self._lineage_rows)

@@ -31,6 +31,12 @@ Operator coverage map (SURVEY §2 ids in brackets):
   fixed_blocks          [P2 J1 F2]         fixed 64-char block dedup (-F)
   reconstruct_audit     [entry point C]    rep-text read-back + hash verify
   delta_spans           [F11/A3 backrefs]  shared-span delta descriptors
+  delta_reconstruct     [bspatch analog]   APPLY descriptors: rebuild B from
+                                           partner span + unique regions,
+                                           byte-verify by sha (entry point C
+                                           read-back, completed)
+  embedding_ann_recall  [scale-path gate]  LSH bucket-retrieval recall
+                                           certificate over exact strong pairs
   embedding_topk        [new: ANN baseline] brute-force cosine top-k
   embedding_near_dup    [new]              cosine-threshold near-dup pairs
   embedding_ann_lsh     [new: scale path]  hyperplane-LSH ANN (rows-only)
@@ -445,6 +451,39 @@ def q_delta_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_spans(docs, pairs, SUB_MIN)
 
 
+def q_delta_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta READ-BACK [bspatch analog — entry point C completed]: apply
+    every delta_spans descriptor — rebuild the pair's B side as B-prefix ⊕
+    partner span ⊕ B-suffix — and byte-verify by sha256. sha_ok certifies
+    descriptor arithmetic AND the application path (bspatch.c:268,
+    rabin_dedup.c:1685-1703)."""
+    from pcompress_spark.operators.reconstruct import apply_delta_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spans = q_delta_spans(spark, sf_dir)
+    return apply_delta_spans(docs, spans)
+
+
+ANN_RECALL_TAU = 0.4   # strong-pair threshold the LSH retrieval must cover
+ANN_CERT_BITS = 3      # b=3/T=24: per-pair miss P ~= 2e-5 at cos 0.4
+ANN_CERT_TABLES = 24
+
+
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall certificate [scale-path gate]: one row per exact strong
+    pair (cosine >= 0.4, triangle-grid exact join = the SQL-expressible
+    ground truth) with `retrieved` = did hyperplane-LSH bucket
+    co-occurrence (the SAME bucket join lsh_ann_topk uses) propose it.
+    The oracle asserts retrieved for every strong pair — a recall lower
+    bound the driver can check, closing the r2 `no_oracle` gap."""
+    return E.ann_recall_certify(
+        _emb(spark, sf_dir),
+        ANN_RECALL_TAU,
+        bits=ANN_CERT_BITS,
+        tables=ANN_CERT_TABLES,
+    )
+
+
 def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pushdown scan [S1/P3]: filter + narrow projection reach the parquet
     reader (PushedFilters/ReadSchema verified in tests)."""
@@ -533,6 +572,8 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "reconstruct_audit": q_reconstruct_audit,
     "delta_spans": q_delta_spans,
+    "delta_reconstruct": q_delta_reconstruct,
+    "embedding_ann_recall": q_embedding_ann_recall,
     "scan_filter_project": q_scan_filter_project,
     "join_agg_revenue": q_join_agg_revenue,
     "window_rank_orders": q_window_rank_orders,
@@ -736,6 +777,44 @@ FROM p
 JOIN wp a ON a.doc_id = p.id_a
 JOIN wp b ON b.doc_id = p.id_b AND b.g = a.g
 GROUP BY p.id_a, p.id_b
+""",
+    "delta_reconstruct": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),
+wp AS (SELECT doc_id, g, min(i) AS pos FROM
+        (SELECT doc_id, substr(text, CAST(i AS INT), {SUB_MIN}) AS g, i
+         FROM d, unnest(range(1, length(text) - {SUB_MIN} + 2)) t(i))
+       GROUP BY doc_id, g),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wp a JOIN wp b ON a.g = b.g AND a.doc_id < b.doc_id),
+sp AS (SELECT p.id_a, p.id_b,
+              CAST(min(a.pos) AS BIGINT) AS off_a,
+              CAST(min(b.pos) AS BIGINT) AS off_b,
+              count(*) + {SUB_MIN - 1} AS est_span_len
+       FROM p
+       JOIN wp a ON a.doc_id = p.id_a
+       JOIN wp b ON b.doc_id = p.id_b AND b.g = a.g
+       GROUP BY p.id_a, p.id_b)
+SELECT sp.id_a, sp.id_b, sp.off_a, sp.off_b, sp.est_span_len,
+       sha256(substr(db.text, 1, CAST(sp.off_b - 1 AS INT))
+              || substr(da.text, CAST(sp.off_a AS INT),
+                        CAST(sp.est_span_len AS INT))
+              || substr(db.text, CAST(sp.off_b + sp.est_span_len AS INT)))
+         = sha256(db.text) AS sha_ok
+FROM sp
+JOIN documents da ON da.doc_id = sp.id_a
+JOIN documents db ON db.doc_id = sp.id_b
+""",
+    "embedding_ann_recall": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT id_a, id_b, cos_sim, TRUE AS retrieved FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    floor((CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                AND sqrt(list_dot_product(b.v, b.v)) > 0
+          THEN list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= {ANN_RECALL_TAU}
 """,
     "scan_filter_project": """
 SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice

@@ -24,10 +24,18 @@ rolling-hash constants would invalidate its archives. Spec:
  6. normalize whitespace: every run of unicode whitespace → one ASCII
     space, leading/trailing stripped.
 
-Deliberate v1 limitations (documented, deterministic): attribute values
-containing a literal `>` terminate the tag early; CDATA sections are
-treated as text. Both are rare in real pages and absent from the corpus
-generator's adversarial cases.
+v1.1 (strip-tag rule hardened, output-identical on any page without a
+quoted `>` inside a tag — i.e. on every stored corpus): the strip-tag
+regex skips quoted attribute values, so `<a href="x>y">` no longer
+terminates at the `x>` (the likeliest real-web divergence of v1). The
+quote branches are first-char-disjoint from the bare-char branch — no
+regex backtracking blowup on adversarial input; a tag with an UNMATCHED
+quote before `>` is left unstripped (deterministic, pinned by test).
+
+Deliberate v1 limitations still present (documented, deterministic):
+CDATA sections are treated as text; comment/declaration/drop-element
+scans still use the simple `[^>]*` tag tail. Rare in real pages and
+absent from the corpus generator's adversarial cases.
 
 Everything is compiled-regex + str.split — C-speed per doc, no per-char
 Python, no third-party dependency.
@@ -68,7 +76,12 @@ _DROP_RE = re.compile(
     + r")\s*>",
     re.DOTALL | re.IGNORECASE,
 )
-_TAG_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9]*)\b[^>]*/?>")
+# tag tail: quoted attribute values may contain `>`; the three branches
+# are disjoint on their first character (", ', anything-else-but->"') so
+# matching is linear — no catastrophic backtracking on junk input
+_TAG_RE = re.compile(
+    r"</?([a-zA-Z][a-zA-Z0-9]*)(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
+)
 
 
 def _tag_repl(m: re.Match) -> str:

@@ -126,3 +126,52 @@ def delta_spans(
         )
         .withColumn("est_span_len", F.col("n_win") + F.lit(span_len - 1))
     )
+
+
+def apply_delta_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """CONSUME the backref descriptors: rebuild each pair's B side from the
+    partner's span + B's own unique regions, then byte-verify by content
+    hash — the bspatch read-back (bsdiff/bspatch.c:268 applying copy+extra
+    blocks; rabin_dedup.c:1685-1703 re-materializing a deduped chunk from
+    its original). A descriptor that can't rebuild its member is dead
+    plumbing; this is the proof it isn't.
+
+    spans(id_a, id_b, off_a, off_b, est_span_len) ->
+    (id_a, id_b, off_a, off_b, est_span_len, sha_ok):
+        rebuilt_b = B[1 .. off_b-1]                       (unique prefix)
+                  ⊕ A[off_a .. off_a+est_span_len-1]      (copy from partner)
+                  ⊕ B[off_b+est_span_len .. ]             (unique suffix)
+        sha_ok    = sha256(rebuilt_b) == sha256(B)
+    All codegen (substring/concat/sha2) — no Python, no text shuffle
+    beyond the two partner-text joins. est_span_len is exact for
+    contiguous shared runs (delta_spans contract), so sha_ok certifies
+    both the descriptor arithmetic and the application path.
+    """
+    ta = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    rebuilt = F.concat(
+        F.expr("substring(text_b, 1, cast(off_b - 1 as int))"),
+        F.expr("substring(text_a, cast(off_a as int), cast(est_span_len as int))"),
+        F.expr(
+            "substring(text_b, cast(off_b + est_span_len as int),"
+            " length(text_b))"
+        ),
+    )
+    return (
+        spans.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "off_a",
+            "off_b",
+            "est_span_len",
+            (F.sha2(rebuilt, 256) == F.sha2(F.col("text_b"), 256)).alias(
+                "sha_ok"
+            ),
+        )
+    )

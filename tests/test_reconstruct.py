@@ -79,3 +79,48 @@ def test_window_positions_are_earliest_occurrence(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     rows = window_positions(docs, L).collect()
     assert len(rows) == 1 and rows[0].pos == 1
+
+
+def test_apply_delta_spans_rebuilds_and_verifies(spark):
+    """Applying a descriptor must rebuild B byte-exactly from partner span
+    + B's unique regions (bspatch read-back analog)."""
+    from pcompress_spark.operators.reconstruct import apply_delta_spans
+
+    rng = np.random.default_rng(11)
+    shared = _rand_text(rng, 150)
+    rows = [
+        (1, _rand_text(rng, 80) + shared + _rand_text(rng, 60)),
+        (2, _rand_text(rng, 40) + shared + _rand_text(rng, 90)),
+        (3, shared + _rand_text(rng, 50)),          # span at offset 1
+        (4, _rand_text(rng, 70) + shared),          # span at the tail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "id_a long, id_b long"
+    )
+    spans = delta_spans(docs, pairs, L)
+    out = apply_delta_spans(docs, spans).collect()
+    assert len(out) == 4
+    assert all(r.sha_ok for r in out), [
+        (r.id_a, r.id_b) for r in out if not r.sha_ok
+    ]
+
+
+def test_apply_delta_spans_detects_corrupt_descriptor(spark):
+    """A corrupted offset must FAIL the byte verification — sha_ok is a
+    real check, not a constant."""
+    from pcompress_spark.operators.reconstruct import apply_delta_spans
+
+    rng = np.random.default_rng(13)
+    shared = _rand_text(rng, 150)
+    rows = [
+        (1, _rand_text(rng, 80) + shared),
+        (2, _rand_text(rng, 40) + shared),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    spans = delta_spans(docs, pairs, L).withColumn(
+        "off_a", F.col("off_a") + 1
+    )
+    out = apply_delta_spans(docs, spans).collect()
+    assert len(out) == 1 and not out[0].sha_ok
