@@ -70,7 +70,19 @@ class PipelineConfig:
                                      # hot buckets (operators/pairs.py): a
                                      # bucket of m docs spreads its m²/2 pairs
                                      # over g(g+1)/2 join-key cells
-    salt_min: int = 32               # buckets larger than this get salted
+    salt_min: int = 256              # buckets larger than this get salted.
+                                     # bucket_pairs clamps it to
+                                     # max_bucket_docs, so at the default
+                                     # cap (64) the salted branch is empty
+                                     # BY DESIGN: a <= 64-doc bucket emits
+                                     # <= 2016 pairs in one key group —
+                                     # salting it was measured as pure
+                                     # replication overhead (16 copies of
+                                     # every mid-bucket row through the
+                                     # self-join) with zero skew benefit.
+                                     # The mechanism stays for large-cap
+                                     # configs where one bucket's m**2/2
+                                     # really can swamp a task.
     max_bucket_docs: int = 64        # cap on docs per band bucket: larger
                                      # buckets star-join to their min doc
                                      # instead of all-pairs (measured at 100k

@@ -83,9 +83,19 @@ def fused_candidates(
         verify_edges, as before).
     Pairs whose only proposer was a simhash bucket that fails the hamming
     ball are dropped (same as the standalone channel's post-join filter).
-    `is_star` marks pairs from over-cap star downgrades of MINHASH buckets:
-    their band counts undercount true signature overlap, so the signature
-    prefilter must exempt them (verify.prefilter_candidates).
+
+    Exact counts under the star downgrade: an over-cap MINHASH bucket
+    suppresses member-member pair emission, so raw band co-occurrence
+    would UNDERCOUNT signature overlap for any pair sharing a hot bucket
+    (r2 ADVICE). Correction: star rows are EXCLUDED from the count and
+    every pair instead adds `|hot_keys(a) ∩ hot_keys(b)|` — the number of
+    over-cap band buckets both docs sit in (per-doc hot-key arrays, tiny
+    left joins that AQE broadcasts at bench scale and degrades to a
+    shuffle join only when the corpus is mostly boilerplate). Each band
+    where the pair co-occurs is counted exactly once — via its pair row
+    when the bucket was emitted, via the hot-key intersect when it was
+    star-downgraded — so `mh_overlap` IS the signature overlap for every
+    pair and the prefilter needs no star exemption.
     """
     rows = fused_keyed_rows(reps, cfg)
     pairs, hot = bucket_pairs(
@@ -96,13 +106,39 @@ def fused_candidates(
         salt_groups=cfg.salt_buckets,
         carry=["ch"],
     )
+    # rows was persisted inside bucket_pairs (same plan -> cache hit here)
+    hot_mh = hot.filter(F.col("ch") == CH_MINHASH).select("key")
+    hot_docs = (
+        rows.filter(F.col("ch") == CH_MINHASH)
+        .join(hot_mh, "key", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("key").alias("_hk"))
+    )
     agg = pairs.groupBy("id_a", "id_b").agg(
-        F.sum(F.when(F.col("ch") == CH_MINHASH, 1).otherwise(0))
+        F.sum(
+            F.when((F.col("ch") == CH_MINHASH) & ~F.col("is_star"), 1).otherwise(0)
+        )
         .cast("int")
         .alias("_mh_cnt"),
+        F.max(F.col("ch") == CH_MINHASH).alias("_mh_any"),
         F.max(F.col("ch") == CH_SIMHASH).alias("_sh_bucket"),
         F.max(F.col("ch") == CH_WINNOW).alias("_wn"),
         F.max((F.col("ch") == CH_MINHASH) & F.col("is_star")).alias("is_star"),
+    )
+    ha = hot_docs.select(F.col("doc_id").alias("id_a"), F.col("_hk").alias("_hk_a"))
+    hb = hot_docs.select(F.col("doc_id").alias("id_b"), F.col("_hk").alias("_hk_b"))
+    agg = (
+        agg.join(ha, "id_a", "left")
+        .join(hb, "id_b", "left")
+        .withColumn(
+            "_mh_cnt",
+            F.col("_mh_cnt")
+            + F.when(
+                F.col("_hk_a").isNotNull() & F.col("_hk_b").isNotNull(),
+                F.size(F.array_intersect("_hk_a", "_hk_b")),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hk_a", "_hk_b")
     )
     sims = reps.select("doc_id", "simhash")
     sa = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sim_a"))
@@ -121,13 +157,13 @@ def fused_candidates(
     )
     channels = F.array_compact(
         F.array(
-            F.when(F.col("_mh_cnt") > 0, F.lit("minhash")),
+            F.when(F.col("_mh_any"), F.lit("minhash")),
             F.when(F.col("_sh_ok"), F.lit("simhash")),
             F.when(F.col("_wn"), F.lit("winnow")),
         )
     )
     if cfg.lsh_rows == 1:
-        mh_overlap = F.when(F.col("_mh_cnt") > 0, F.col("_mh_cnt"))
+        mh_overlap = F.when(F.col("_mh_any"), F.col("_mh_cnt"))
     else:
         mh_overlap = F.lit(None)
     out = (

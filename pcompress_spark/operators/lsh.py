@@ -57,10 +57,14 @@ def lsh_candidates(
     — so the downstream signature prefilter and degree-cap ranking get
     `mh_overlap` for free instead of joining the K-long minhash arrays
     onto every raw pair (measured 5+ GB of array shuffle at 100k docs).
-    Two cases where the count is NOT signature overlap, both handled:
-    - star-downgraded pairs (is_star): their over-cap bucket suppressed
-      member-member emission, so the count undercounts — the prefilter
-      EXEMPTS is_star pairs from the min-matches gate;
+    Two cases where the raw count is NOT signature overlap, both handled:
+    - star-downgraded buckets suppress member-member emission, so raw
+      co-occurrence would undercount any pair sharing an over-cap bucket
+      (r2 ADVICE): star rows are excluded from the count and every pair
+      adds the size of the intersection of its endpoints' over-cap
+      bucket-key sets instead — exactly one count per shared band, so
+      `mh_overlap` IS the signature overlap for every pair (see
+      operators/fused.py for the same construction);
     - r > 1 banding: band co-occurrence maxes out at b (a J=0.8 pair
       expects ~1.3 band matches at b=4/r=5), so mh_overlap is emitted
       null and the prefilter falls back to exact array-intersect.
@@ -74,12 +78,44 @@ def lsh_candidates(
         salt_groups=cfg.salt_buckets,
     )
     if cfg.lsh_rows == 1:
-        overlap = F.count(F.lit(1)).cast("int")
+        overlap = F.sum(
+            F.when(~F.col("is_star"), 1).otherwise(0)
+        ).cast("int")
     else:
         overlap = F.max(F.lit(None).cast("int"))
-    cands = (
-        pairs.groupBy("id_a", "id_b")
-        .agg(overlap.alias("mh_overlap"), F.max("is_star").alias("is_star"))
-        .withColumn("channel", F.lit("minhash"))
+    agg = pairs.groupBy("id_a", "id_b").agg(
+        overlap.alias("mh_overlap"), F.max("is_star").alias("is_star")
     )
+    if cfg.lsh_rows == 1:
+        # bands was persisted inside bucket_pairs (same plan -> cache hit)
+        hot_keys = hot.select("band_idx", "band_hash")
+        hot_docs = (
+            bands.join(hot_keys, ["band_idx", "band_hash"], "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.collect_set(
+                    F.xxhash64("band_idx", "band_hash")
+                ).alias("_hk")
+            )
+        )
+        ha = hot_docs.select(
+            F.col("doc_id").alias("id_a"), F.col("_hk").alias("_hk_a")
+        )
+        hb = hot_docs.select(
+            F.col("doc_id").alias("id_b"), F.col("_hk").alias("_hk_b")
+        )
+        agg = (
+            agg.join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .withColumn(
+                "mh_overlap",
+                F.col("mh_overlap")
+                + F.when(
+                    F.col("_hk_a").isNotNull() & F.col("_hk_b").isNotNull(),
+                    F.size(F.array_intersect("_hk_a", "_hk_b")),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hk_a", "_hk_b")
+        )
+    cands = agg.withColumn("channel", F.lit("minhash"))
     return cands, hot

@@ -80,13 +80,16 @@ def prefilter_candidates(
     usually also proposed by the simhash/winnow channels, which bypass
     this filter (their own verification is already strong).
 
-    Exemptions from the min-matches gate (recall safety):
-    - pairs proposed by any non-minhash channel (`channels` has more than
-      'minhash');
-    - star-downgraded pairs (`is_star`): their over-cap bucket suppressed
-      member-member emission, so band co-occurrence UNDERCOUNTS signature
-      overlap — filtering them on the undercounted value would split
-      boilerplate-heavy clusters.
+    Pairs proposed by any non-minhash channel (`channels` has more than
+    'minhash') are exempt from the min-matches gate: their own
+    verification (hamming ball / verbatim anchor match) is already strong.
+    Star-downgraded pairs need NO exemption: the channels compute exact
+    signature overlap even under the star downgrade (star rows excluded
+    from the count, shared over-cap buckets added back via hot-key
+    intersect — operators/fused.py / lsh.py). A blanket is_star exemption
+    was measured at 171k junk pairs (5x the verify set) on a 100k-doc
+    boilerplate corpus; gating on the exact value keeps a genuinely
+    similar pair (J >= 0.4) w.p. ~0.996 and cuts that junk.
     `overlap_from_bands=False` (required when cfg.lsh_rows != 1, where
     band co-occurrence is NOT signature overlap) discards any upstream
     counts and recomputes overlap exactly via array_intersect on the
@@ -96,35 +99,16 @@ def prefilter_candidates(
     degree cap, drops are logged, never silent.
     """
     if "mh_overlap" in candidates.columns and overlap_from_bands:
-        # overlap measured upstream as band co-occurrence (r == 1: band
-        # hash == minhash value, so co-occurrence count == signature
-        # overlap) — no array join needed. Null (non-minhash channels)
-        # stays null: the degree cap ranks those channel-aware.
+        # overlap measured upstream as (corrected) band co-occurrence
+        # (r == 1: band hash == minhash value, so the count == signature
+        # overlap). Null (non-minhash channels) stays null: the degree
+        # cap ranks those channel-aware.
         scored = tracked_persist(candidates)
     else:
-        sig = reps.select("doc_id", "minhash")
-        a = sig.select(
-            F.col("doc_id").alias("id_a"), F.col("minhash").alias("mh_a")
-        )
-        b = sig.select(
-            F.col("doc_id").alias("id_b"), F.col("minhash").alias("mh_b")
-        )
-        scored = tracked_persist(
-            candidates.drop("mh_overlap")
-            .join(a, "id_a")
-            .join(b, "id_b")
-            .withColumn(
-                "mh_overlap", F.size(F.array_intersect("mh_a", "mh_b"))
-            )
-            .drop("mh_a", "mh_b")
-        )
-    is_star = (
-        F.col("is_star") if "is_star" in scored.columns else F.lit(False)
-    )
+        scored = tracked_persist(_true_signature_overlap(candidates, reps))
     keep = (
         (F.coalesce(F.col("mh_overlap"), F.lit(0)) >= min_matches)
         | (F.col("channels") != F.array(F.lit("minhash")))
-        | is_star
     )
     dropped = (
         scored.filter(~keep)
@@ -133,6 +117,32 @@ def prefilter_candidates(
         .agg(F.count(F.lit(1)).alias("n_dropped"))
     )
     return scored.filter(keep), dropped
+
+
+def _true_signature_overlap(pairs: DataFrame, reps: DataFrame) -> DataFrame:
+    """Replace `mh_overlap` with the exact K-value signature overlap
+    (array_intersect on the minhash arrays). The sig table is semi-joined
+    down to just the docs appearing in `pairs` first, so the join moves
+    O(|pairs|) signatures, not O(corpus) — scale-safe even when `pairs`
+    is a small re-score subset of a 100-TB run."""
+    docs_in = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sig = reps.select("doc_id", "minhash").join(docs_in, "doc_id", "left_semi")
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("mh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("mh_b"))
+    return (
+        pairs.drop("mh_overlap")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "mh_overlap",
+            F.size(F.array_intersect("mh_a", "mh_b")).cast("int"),
+        )
+        .drop("mh_a", "mh_b")
+    )
 
 
 def cap_candidate_degree(

@@ -55,22 +55,74 @@ def test_fused_equals_legacy_merge(spark):
     reps.unpersist()
 
 
-def test_fused_star_pairs_survive_prefilter(spark):
-    """Star-downgraded pairs carry undercounted band co-occurrence; the
-    prefilter must not drop them on the min-matches gate (ADVICE r2)."""
-    cands = spark.createDataFrame(
-        [
-            (1, 2, ["minhash"], 1, True),   # star, weak count -> keep
-            (1, 3, ["minhash"], 1, False),  # non-star weak     -> drop
-            (2, 3, ["minhash"], 5, False),  # strong            -> keep
-        ],
-        "id_a long, id_b long, channels array<string>, mh_overlap int,"
-        " is_star boolean",
+def _crafted_reps(spark):
+    """8 docs with hand-built minhash signatures (K=20, r=1):
+    - docs 1..6 share bands 0..9 (a 6-doc bucket per band -> over the
+      cap=4, star-downgraded onto rep doc 1);
+    - docs 2,3 additionally share bands 10..13 (2-doc buckets, emitted
+      by the small branch);
+    - docs 7,8 share exactly band 19 (true overlap 1 — junk).
+    Exact signature overlaps: (1,j)=10 for j in 2..6, (2,3)=14, (7,8)=1.
+    Simhash values are block-distinct (no simhash pairs); texts are below
+    substring_min_len (no winnow rows)."""
+    rows = []
+    for d in range(1, 9):
+        mh = []
+        for i in range(20):
+            if d <= 6 and i < 10:
+                mh.append(1000 + i)                  # hot shared bands
+            elif d in (2, 3) and 10 <= i <= 13:
+                mh.append(2000 + i)                  # small shared bands
+            elif d in (7, 8) and i == 19:
+                mh.append(3000)                      # one junk collision
+            else:
+                mh.append(d * 1_000_000 + i)         # unique
+        # distinct 16-bit blocks everywhere -> no simhash buckets
+        sim = d * 0x0001_0001_0001_0001
+        rows.append((d, f"u{d}", "short text", mh, sim, 100))
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, url string, text string, minhash array<long>,"
+        " simhash long, nshingles int",
     )
-    kept, dropped = verify.prefilter_candidates(cands, None, min_matches=3)
-    got = {(r.id_a, r.id_b) for r in kept.collect()}
-    assert got == {(1, 2), (2, 3)}
+
+
+def test_star_downgrade_counts_are_exact_overlap(spark):
+    """An over-cap bucket suppresses member-member emission; the hot-key
+    correction (star rows excluded, shared over-cap buckets added back)
+    must make mh_overlap the EXACT signature overlap for every emitted
+    pair — the r2 ADVICE fix, without the blanket is_star exemption that
+    flooded verify with 171k junk pairs at 100k docs."""
+    cfg = PipelineConfig(max_bucket_docs=4)
+    reps = _crafted_reps(spark).persist()
+    expect = {(1, j): 10 for j in range(2, 7)}
+    expect[(2, 3)] = 14
+    expect[(7, 8)] = 1
+
+    for cands in (
+        fused.fused_candidates(reps, cfg)[0],
+        lsh.lsh_candidates(reps, cfg)[0].withColumn(
+            "channels", F.array(F.lit("minhash"))
+        ),
+    ):
+        got = {
+            (r.id_a, r.id_b): (r.mh_overlap, bool(r.is_star))
+            for r in cands.collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == expect
+        # star flag marks pairs EMITTED by the star branch (rep-member);
+        # member-member pairs get their hot-bucket counts via the
+        # intersect without the flag
+        assert got[(1, 2)][1]
+        assert not got[(2, 3)][1] and not got[(7, 8)][1]
+
+    # prefilter gates on the exact value: junk (7,8) drops, the rest keep
+    kept, dropped = verify.prefilter_candidates(
+        fused.fused_candidates(reps, cfg)[0], reps, min_matches=3
+    )
+    assert {(r.id_a, r.id_b) for r in kept.collect()} == set(expect) - {(7, 8)}
     assert dropped.count() > 0
+    reps.unpersist()
 
 
 def test_r_gt_1_emits_null_overlap(spark):
