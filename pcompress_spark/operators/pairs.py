@@ -74,8 +74,15 @@ def bucket_pairs(
     # the bucket frame is referenced several times (stats + join sides) —
     # persist so any upstream Python-UDF stage runs exactly once
     buckets = tracked_persist(buckets)
-    stats = buckets.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
+    # stats is read by several DAG branches in ONE action (the joined
+    # classification, both self-join sides, the hot log, and the caller's
+    # hot-doc semi-join) — Spark does not dedup identical subplans across
+    # branches unless the exchange is reused, so persist it: one ~3M-group
+    # aggregation instead of up to five
+    stats = tracked_persist(
+        buckets.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
+        )
     )
     joined = buckets.join(stats, key_cols)
 

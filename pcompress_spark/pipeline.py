@@ -57,14 +57,20 @@ class DedupPipeline:
     def _set_shuffle_partitions(self, n: int) -> int:
         """Size `spark.sql.shuffle.partitions` to the DATA, not the cores.
 
-        Shuffle tasks carrying shingle/window arrays run ~50 KB serialized
-        per pair row and inflate several-fold deserialized; with a
-        cores-derived partition count a 4x corpus means 4x bytes per task
-        and the JVM tips into GC stall (measured: verify join 42s at 150k
-        pairs/32 partitions, 350s at 405k pairs/32 partitions — 2.6x rows,
-        8x wall). Partition count grows with row volume instead; AQE
-        coalesces small stages back down (it can merge partitions but can
-        never split one). Returns the previous setting."""
+        With a purely cores-derived partition count a 4x corpus means 4x
+        bytes per task and the JVM eventually tips into GC stall (measured
+        in the round-1 array-join design: verify 42s at 150k pairs/32
+        partitions, 350s at 405k/32 — 2.6x rows, 8x wall). Partition
+        count therefore grows with row volume; AQE coalesces small stages
+        back down (it can merge partitions but can never split one).
+        The divisors are sized to the CURRENT narrow-row design (fused
+        17-byte keyed rows, text-shipped verify rows ~6 KB/pair): callers
+        target roughly 10-30 MB serialized per task, because oversizing
+        the count is not free — a 100k-doc run at 100 partitions spends
+        ~35 ms/task of pure scheduler latency across dozens of small
+        stages, measured as the main 2->8-core efficiency sink (stages at
+        12-20%% utilization in the event log). Returns the previous
+        setting."""
         spark = self.spark
         prev = int(spark.conf.get("spark.sql.shuffle.partitions"))
         base = int(spark.conf.get("spark.pcompress.baseShufflePartitions", str(prev)))
@@ -100,8 +106,10 @@ class DedupPipeline:
             # channel bucket/candidate caches live only as long as the
             # candidates stage: scope them so verify gets the memory back
             with CacheScope():
-                # band explode / bucket joins move ~n_docs * bands rows
-                prev = self._set_shuffle_partitions(sigs.count() // 1000)
+                # band explode / bucket joins move ~n_docs * bands narrow
+                # rows (~20 B each): ~70 B x bands per doc -> ~1.4 KB/doc,
+                # so ~20k docs/partition ~= 30 MB serialized per task
+                prev = self._set_shuffle_partitions(sigs.count() // 20_000)
                 try:
                     cands = ckpt.materialize(
                         "candidates", lambda: self._candidates(need_reps())
@@ -112,9 +120,9 @@ class DedupPipeline:
                     )
 
             with CacheScope():
-                # the verify join carries two ~25 KB shingle arrays per
-                # candidate pair; ~1.2k pairs/partition ~= 60 MB serialized
-                prev = self._set_shuffle_partitions(cands.count() // 1200)
+                # the verify join carries the two utf-8 texts per candidate
+                # pair (~6 KB); ~4k pairs/partition ~= 25 MB serialized
+                prev = self._set_shuffle_partitions(cands.count() // 4000)
                 try:
                     edges = ckpt.materialize(
                         "edges",
@@ -159,8 +167,17 @@ class DedupPipeline:
         legacy path (fused_channels=False) runs the three channels as
         separate Spark jobs, optionally concurrent."""
         cfg = self.cfg
+        t0 = time.time()
+        hot = None
         if cfg.fused_channels:
-            merged = self._candidates_fused(reps)
+            # one fused explode -> bucket_pairs pass for all three channels
+            # (a third of the shuffle bytes/stages of the per-channel
+            # jobs). The ~99%-junk merged pair frame (band noise) is NOT
+            # materialized here: its only persist is prefilter's `scored`
+            # cache, built in the same pass that materializes the capped
+            # set below — persisting it twice (merge + prefilter) was a
+            # measured ~20% of the candidates barrier at 100k docs.
+            merged, hot = fused.fused_candidates(reps, cfg)
         else:
             merged = self._candidates_legacy(reps)
         filtered, pre_dropped = verify.prefilter_candidates(
@@ -170,30 +187,28 @@ class DedupPipeline:
             filtered, cfg.verify_degree_cap
         )
         # one sequential pass materializes the capped set AND the persisted
-        # scored/ranked frames it reads through; the drop logs (and the
-        # checkpoint write that follows) then scan warm caches instead of
-        # re-running the merge/prefilter joins once per consumer
-        t0 = time.time()
+        # scored/ranked frames it reads through; the drop logs, hot-bucket
+        # logs (and the checkpoint write that follows) then scan warm
+        # caches instead of re-running the merge/prefilter joins once per
+        # consumer
         capped = tracked_persist(capped)
         n = capped.count()
-        self.ckpt.note("merge_prefilter_cap", int((time.time() - t0) * 1000), n)
-        self._log_hot("prefilter", pre_dropped)
-        self._log_hot("degree_cap", cap_dropped)
+        self.ckpt.note("candidates_gen", int((time.time() - t0) * 1000), n)
+        logs = []
+        if hot is not None:
+            hot = tracked_persist(hot)
+            hot.count()  # materialize once before concurrent readers
+            logs += [
+                (name, hot.filter(F.col("ch") == ch_val).drop("ch"))
+                for ch_val, name in fused.CHANNEL_NAMES.items()
+            ]
+        logs += [("prefilter", pre_dropped), ("degree_cap", cap_dropped)]
+        # each log is a tiny independent job reading warm caches; run them
+        # concurrently (FAIR scheduler) — sequential submission was ~15s of
+        # near-idle wall per run, a flat cost that sinks scaling efficiency
+        with ThreadPoolExecutor(max_workers=len(logs)) as ex:
+            list(ex.map(lambda nf: self._log_hot(*nf), logs))
         return capped
-
-    def _candidates_fused(self, reps: DataFrame) -> DataFrame:
-        """One fused explode -> bucket_pairs pass for all three channels
-        (the 2->8-core scaling fix: a third of the shuffle bytes/stages of
-        the per-channel jobs). Hot-bucket logs stay per-channel files."""
-        t0 = time.time()
-        merged, hot = fused.fused_candidates(reps, self.cfg)
-        merged = tracked_persist(merged)
-        n = merged.count()
-        self.ckpt.note("channels_fused", int((time.time() - t0) * 1000), n)
-        hot = tracked_persist(hot)
-        for ch_val, name in fused.CHANNEL_NAMES.items():
-            self._log_hot(name, hot.filter(F.col("ch") == ch_val).drop("ch"))
-        return merged
 
     def _candidates_legacy(self, reps: DataFrame) -> DataFrame:
         """Three per-channel Spark jobs, optionally concurrent (threads
@@ -255,7 +270,9 @@ class DedupPipeline:
 
     # -------------------------------------------------------------- helpers
     def _log_hot(self, channel: str, hot: DataFrame) -> None:
-        """Persist the hot-bucket/drop log — drops are never silent."""
-        hot.write.mode("overwrite").parquet(
+        """Persist the hot-bucket/drop log — drops are never silent.
+        Logs are tiny (bucket keys / per-doc counts): coalesce the write
+        so it is a handful of tasks, not one per shuffle partition."""
+        hot.coalesce(8).write.mode("overwrite").parquet(
             self.ckpt.path(f"_hot_buckets_{channel}")
         )

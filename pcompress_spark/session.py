@@ -41,6 +41,9 @@ def get_spark(
         if master.startswith("local["):
             n = master[len("local[") : -1]
             cores = 32 if n == "*" else max(1, int(n))
+            # 4 waves' worth of partitions (A/B'd against 8x at 200k docs:
+            # 8x cost +30% wall and +34% CPU from per-task overhead —
+            # tail-packing gains don't pay here)
             shuffle_partitions = max(4 * cores, 16)
         else:
             shuffle_partitions = 512
@@ -63,6 +66,13 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # input split size: the first scan feeds CPU-heavy pandas-UDF
+        # signature extraction (~MB/s per core, not GB/s), so default
+        # 128 MB splits leave a 100k-doc corpus at 8 tasks — the max-task
+        # time becomes the stage wall at higher core counts. 32 MB splits
+        # give the scheduler enough tasks to pack without tiny-file
+        # overhead; pure-columnar scans are unaffected in practice.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -34,9 +34,28 @@ def main() -> None:
         else f"/tmp/scale_input_{docs}"
     )
     cfg = PipelineConfig(fused_channels="--legacy" not in sys.argv)
-    spark = get_spark(f"ab{cores}", master=f"local[{cores}]")
+    extra = {}
+    if "--eventlog" in sys.argv:
+        evdir = f"/tmp/spark-events-{cores}"
+        os.makedirs(evdir, exist_ok=True)
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+        }
+    spark = get_spark(f"ab{cores}", master=f"local[{cores}]", extra_conf=extra)
     spark.range(1000).selectExpr("sum(id)").collect()
     ckpt = tempfile.mkdtemp(prefix="ab_ckpt_")
+
+    def machine_busy_s() -> float:
+        """Whole-machine busy CPU seconds from /proc/stat (box assumed
+        otherwise quiet): total minus idle+iowait, in seconds."""
+        with open("/proc/stat") as fh:
+            f = [int(x) for x in fh.readline().split()[1:]]
+        idle = f[3] + f[4]
+        return (sum(f) - idle) / os.sysconf("SC_CLK_TCK")
+
+    busy0 = machine_busy_s()
     t0 = time.time()
     pages = spark.read.parquet(inp)
     pipe = DedupPipeline(spark, cfg, checkpoint_dir=ckpt, resume=False)
@@ -51,9 +70,46 @@ def main() -> None:
         "  candidates_rows:",
         spark.read.parquet(pipe.ckpt.path("candidates")).count(),
     )
+    print("  machine_busy_s:", round(machine_busy_s() - busy0, 1))
+    print("  cpu_tree_s:", round(_tree_cpu_seconds(), 1))
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _tree_cpu_seconds() -> float:
+    """Total utime+stime (incl. dead, reaped descendants) of this process
+    tree — the JVM and every python worker — via /proc. cutime/cstime of
+    self covers reaped children; live descendants are walked and summed."""
+    tick = os.sysconf("SC_CLK_TCK")
+
+    def stat(pid: str):
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                f = fh.read().rsplit(")", 1)[1].split()
+            # fields after comm: state ppid ... utime(11) stime(12)
+            # cutime(13) cstime(14) relative to post-comm index
+            return int(f[1]), int(f[11]), int(f[12]), int(f[13]), int(f[14])
+        except OSError:
+            return None
+
+    me = os.getpid()
+    kids: dict[int, list[int]] = {}
+    info: dict[int, tuple] = {}
+    for pid in os.listdir("/proc"):
+        if pid.isdigit():
+            s = stat(pid)
+            if s:
+                info[int(pid)] = s
+                kids.setdefault(s[0], []).append(int(pid))
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        if p in info:
+            ppid, ut, st, cut, cst = info[p]
+            total += ut + st + cut + cst
+            stack.extend(kids.get(p, []))
+    return total / tick
 
 
 if __name__ == "__main__":
