@@ -64,10 +64,12 @@ def bucket_pairs(
     Pair columns: (id_a, id_b, *carry, is_star). `carry` names key columns
     to re-emit on each pair (equal on both sides by construction — used by
     the fused channel path to keep the channel tag). `is_star` is true for
-    pairs produced by the over-cap star downgrade: their bucket suppressed
-    member-member emission, so any per-bucket co-occurrence count derived
-    from them UNDERCOUNTS — downstream count-based filters must exempt
-    star pairs (see verify.prefilter_candidates)."""
+    pairs produced by the over-cap star downgrade. An over-cap bucket
+    suppresses member-member emission, so a raw per-bucket co-occurrence
+    count UNDERCOUNTS for any pair sharing such a bucket — callers that
+    count co-occurrence must exclude star rows from the count and add
+    back each pair's shared over-cap bucket keys instead (the hot-key
+    intersect in operators/fused.py / lsh.py makes the count exact)."""
     carry = carry or []
     # bands must partition [0, inf): small <= salt_min < med <= cap < star
     salt_min = min(salt_min, cap)
