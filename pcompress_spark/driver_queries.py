@@ -274,7 +274,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_s.nshingles").alias("nshingles"),
         F.col("_s.minhash").alias("minhash"),
     )
-    cands, _hot = lsh.lsh_candidates(sigs, DOC_CFG)
+    # exact_overlap off: this query consumes only the pair SET (then
+    # exact-verifies), and the hot-key count correction never changes the
+    # set — skip its extra joins
+    cands, _hot = lsh.lsh_candidates(sigs, DOC_CFG, exact_overlap=False)
     pairs = cands.select("id_a", "id_b").distinct()
     return _pair_jaccard_arrays(docs, pairs)
 

@@ -45,7 +45,7 @@ def band_explode(reps: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def lsh_candidates(
-    reps: DataFrame, cfg: PipelineConfig
+    reps: DataFrame, cfg: PipelineConfig, exact_overlap: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """(candidates(id_a, id_b, mh_overlap, is_star, channel='minhash'),
     hot_log).
@@ -68,6 +68,10 @@ def lsh_candidates(
     - r > 1 banding: band co-occurrence maxes out at b (a J=0.8 pair
       expects ~1.3 band matches at b=4/r=5), so mh_overlap is emitted
       null and the prefilter falls back to exact array-intersect.
+    `exact_overlap=False` skips the hot-key correction and emits the raw
+    (possibly undercounted) band count — for consumers that only use the
+    candidate PAIR SET (which the correction never changes), saving the
+    correction's extra joins.
     """
     bands = band_explode(reps, cfg)
     pairs, hot = bucket_pairs(
@@ -86,7 +90,7 @@ def lsh_candidates(
     agg = pairs.groupBy("id_a", "id_b").agg(
         overlap.alias("mh_overlap"), F.max("is_star").alias("is_star")
     )
-    if cfg.lsh_rows == 1:
+    if cfg.lsh_rows == 1 and exact_overlap:
         # bands was persisted inside bucket_pairs (same plan -> cache hit)
         hot_keys = hot.select("band_idx", "band_hash")
         hot_docs = (
