@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (`array<float>`).
 
-Two paths, mirroring the reference's exact-vs-sketched dedup split
+Three paths, mirroring the reference's exact-vs-sketched dedup split
 (full index vs segmented similarity index, /root/reference/rabin/global/
 index.c:119-215):
 
@@ -8,10 +8,16 @@ index.c:119-215):
   JVM-side only: `zip_with` elementwise product + `aggregate` fold, ranked
   with a window. Scales as |Q|x|C| compute, but the JOIN SHAPE is a
   block-grid shuffle equi-join (never a broadcast of either side).
-- `lsh_ann_topk`       — the scale path: random-hyperplane (sign) LSH
-  buckets the corpus; each query probes only its own bucket(s), then exact
-  cosine reranks within the bucket. Sub-linear probe cost; recall depends
-  on bits/tables; every drop is measurable vs the brute-force baseline.
+- `lsh_ann_topk`       — scale path, data-oblivious: random-hyperplane
+  (sign) LSH buckets the corpus; each query probes only its own
+  bucket(s), then exact cosine reranks within the bucket. Sub-linear
+  probe cost; recall depends on bits/tables; every drop is measurable vs
+  the brute-force baseline.
+- `ivf_ann_topk`       — scale path, data-adaptive: IVF-flat inverted
+  file (spherical k-means coarse quantizer trained on a bounded sample,
+  vectors stored in their home cell, queries probe their nprobe nearest
+  cells, exact rerank). Both approximate paths carry a driver-checkable
+  recall certificate over exact strong pairs.
 
 All arithmetic is double-precision with left-to-right fold order so the
 DuckDB oracle (same fold order via list_dot_product) reproduces values
@@ -297,6 +303,207 @@ def ann_recall_certify(
     )
     cands = lsh_bucket_candidates(
         corpus, bits, tables, dim, seed, id_col, vec_col, directed=False
+    )
+    return strong.join(
+        cands.withColumn("retrieved", F.lit(True)), ["id_a", "id_b"], "left"
+    ).select(
+        "id_a",
+        "id_b",
+        "cos_sim",
+        F.coalesce("retrieved", F.lit(False)).alias("retrieved"),
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    dim: int = 64,
+    seed: int = 42,
+    sample: int = 4096,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for the IVF path, trained
+    deterministically on a BOUNDED sample: the `sample` vectors with the
+    smallest xxhash64(id, seed) (a partition- and order-invariant choice),
+    Lloyd-iterated `iters` times in numpy on the driver. The sample is
+    fixed-size regardless of corpus size, so at 100 TB training cost is
+    unchanged (a distributed top-k + a ~2 MB collect); only assignment
+    scales, and that is one vectorized matmul pass per Arrow batch.
+    Returns an L2-normalized (nlist, dim) float64 matrix."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .withColumn("_h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(sample)
+        .select("v")
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = np.divide(X, n, out=np.zeros_like(X), where=n > 0)
+    C = Xn[:nlist].copy()
+    for _ in range(max(0, iters)):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(nlist):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        C = np.divide(C, cn, out=C, where=cn > 0)
+    return C
+
+
+def make_ivf_probe_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: embedding -> ordered array of the `nprobe` nearest
+    centroid ids (spherical assignment: max dot against the normalized
+    centroids; element 1 is the vector's home cell). One (batch, dim) @
+    (dim, nlist) matmul per Arrow batch; ties break on centroid index
+    (stable argsort) so assignment is deterministic."""
+    C = centroids.astype(np.float64)
+    p = min(nprobe, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = np.divide(mat, nrm, out=np.zeros_like(mat), where=nrm > 0)
+        order = np.argsort(-(mat @ C.T), axis=1, kind="stable")[:, :p]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe_udf
+
+
+def ivf_cell_pairs(
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    directed: bool = False,
+) -> DataFrame:
+    """Candidate pairs from IVF cell probing — the ONE cell machinery both
+    the IVF top-k and its recall certificate run through. Every vector is
+    STORED in its home cell (nearest centroid); a probe side explodes each
+    vector to its `nprobe` nearest cells and equi-joins the stored side on
+    cell id. directed=True emits (query, neighbor) in both directions
+    (neighbor found when its home cell is among the query's probes);
+    False emits unordered id_a < id_b pairs retrieved in either direction.
+
+    Scale shape: hash-partitioned shuffle equi-join on cell id, probe
+    cost ~ nprobe/nlist of the corpus per query; at 100 TB nlist grows so
+    cells stay partition-sized (the classic FAISS IVF-flat trade), and
+    centroid training stays O(sample)."""
+    probe_udf = make_ivf_probe_udf(
+        train_centroids(corpus, nlist, dim, seed, id_col=id_col, vec_col=vec_col),
+        nprobe,
+    )
+    tagged = tracked_persist(
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+        ).withColumn("_probes", probe_udf(F.col("v")))
+    )
+    stored = tagged.select(
+        "id", F.element_at("_probes", 1).alias("cell")
+    )
+    probes = tagged.select("id", F.explode("_probes").alias("cell"))
+    q, s = probes.alias("q"), stored.alias("s")
+    if directed:
+        return (
+            q.join(s, (F.col("q.cell") == F.col("s.cell"))
+                   & (F.col("q.id") != F.col("s.id")))
+            .select(F.col("q.id").alias("id_a"), F.col("s.id").alias("id_b"))
+            .distinct()
+        )
+    return (
+        q.join(s, (F.col("q.cell") == F.col("s.cell"))
+               & (F.col("q.id") != F.col("s.id")))
+        .select(
+            F.least("q.id", "s.id").alias("id_a"),
+            F.greatest("q.id", "s.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate all-pairs top-k: coarse-quantizer cells
+    (train_centroids) + nprobe-cell probing + exact cosine rerank.
+
+    -> (query_id, neighbor_id, cos_sim, rank). The third ANN path next to
+    `brute_force_topk` (exact baseline) and `lsh_ann_topk` (hash-bucketed):
+    IVF gives data-adaptive partitions where hyperplane LSH gives
+    data-oblivious ones; recall is measured against brute force in tests,
+    never assumed."""
+    cands = ivf_cell_pairs(
+        corpus, nlist, nprobe, dim, seed, id_col, vec_col, directed=True
+    ).select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
+    )
+    base = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    )
+    vecs_q = _norm_frame(base, "query_id", "qv", "qn")
+    vecs_n = _norm_frame(base, "neighbor_id", "nv", "nn")
+    scored = (
+        cands.join(vecs_q, "query_id")
+        .join(vecs_n, "neighbor_id")
+        .withColumn(
+            "cos_sim",
+            _round6(
+                _cos_from_parts(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
+            ),
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivf_recall_certify(
+    corpus: DataFrame,
+    threshold: float,
+    nlist: int = 16,
+    nprobe: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall lower-bound certificate for the IVF path, same contract as
+    `ann_recall_certify`: one row per exact strong pair (cosine >=
+    threshold, triangle-grid exact join) with `retrieved` = whether IVF
+    cell probing proposed the pair (either direction). The paired oracle
+    asserts retrieved for every strong pair. Unlike the LSH certificate's
+    analytic miss bound, IVF has no closed-form guarantee (a pair can
+    straddle a Voronoi boundary) — the certificate exists precisely to
+    MEASURE that on the fixture instead of assuming it; nprobe is the
+    recall/cost dial."""
+    strong = cosine_pairs_above(
+        corpus, threshold, id_col=id_col, vec_col=vec_col
+    )
+    cands = ivf_cell_pairs(
+        corpus, nlist, nprobe, dim, seed, id_col, vec_col, directed=False
     )
     return strong.join(
         cands.withColumn("retrieved", F.lit(True)), ["id_a", "id_b"], "left"

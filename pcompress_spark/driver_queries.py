@@ -40,6 +40,9 @@ Operator coverage map (SURVEY §2 ids in brackets):
   embedding_topk        [new: ANN baseline] brute-force cosine top-k
   embedding_near_dup    [new]              cosine-threshold near-dup pairs
   embedding_ann_lsh     [new: scale path]  hyperplane-LSH ANN (rows-only)
+  embedding_ann_ivf     [new: scale path]  IVF-flat ANN, kmeans coarse
+                                           quantizer (rows-only; recall
+                                           measured in tests)
   multimodal_decode     [F10/S4 analog]    binary payload decode plumbing
   scan_filter_project   [S1 P3]            pushdown scan
   join_agg_revenue      [J2 A4 A5]         broadcast dim join + agg
@@ -419,6 +422,18 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.lsh_ann_topk(_emb(spark, sf_dir), k=TOPK, bits=4, tables=16)
 
 
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (second scale path, data-adaptive): spherical-kmeans
+    coarse quantizer trained on a bounded deterministic sample, vectors
+    stored in their home cell, queries probe their 6 nearest of 16 cells,
+    exact cosine rerank. Approximate by design — no SQL oracle (k-means
+    assignment is not SQL-expressible and IVF has no analytic recall
+    bound, unlike the hyperplane certificate); recall vs brute force and
+    pair-recall vs the exact strong set are asserted in tests
+    (tests/test_embeddings.py)."""
+    return E.ivf_ann_topk(_emb(spark, sf_dir), k=TOPK, nlist=16, nprobe=6)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode [F10/S4/P6]: synthesize payloads with REAL
     container headers (PNG IHDR / WAV fmt+data / AVI avih — planted fields
@@ -572,6 +587,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
     "reconstruct_audit": q_reconstruct_audit,
     "delta_spans": q_delta_spans,
@@ -728,7 +744,9 @@ SELECT id_a, id_b, cos_sim FROM (
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 ) WHERE cos_sim >= {COS_TAU}
 """,
-    # embedding_ann_lsh: intentionally no oracle (approximate by design)
+    # embedding_ann_lsh / embedding_ann_ivf: intentionally no oracle
+    # (approximate by design; LSH carries the analytic recall certificate
+    # embedding_ann_recall instead, IVF recall is measured in tests)
     # the oracle predicts the PLANTED header fields; the Spark side reads
     # them back by parsing the actual binary containers — a value match
     # certifies real magic-byte dispatch + header extraction

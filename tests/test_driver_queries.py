@@ -33,7 +33,10 @@ def test_contract_shape():
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
     # approximate ANN is the only intentionally oracle-less query
-    assert set(qs) - set(oracles) == {"embedding_ann_lsh"}
+    assert set(qs) - set(oracles) == {
+        "embedding_ann_lsh",
+        "embedding_ann_ivf",
+    }
 
 
 def test_minhash_lsh_equals_exact_pairs(spark):
