@@ -55,9 +55,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Within each node's not-larger neighborhood, link all to the min."""
-    oriented = _canon(edges)  # src > dst
+def _small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
+    """Within each node's not-larger neighborhood, link all to the min.
+    `canonical=True` skips re-orientation when the caller guarantees
+    src > dst, self-loop-free, distinct edges — _large_star's output is
+    exactly that (m <= src < dst on every emitted row), so the in-loop
+    call saves a full distinct shuffle of the edge set per round."""
+    oriented = edges if canonical else _canon(edges)  # src > dst
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     joined = oriented.join(mins, "src")
     to_min = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
@@ -88,7 +92,9 @@ def connected_components(
     e = _canon(edges).localCheckpoint(eager=False)
     prev = _signature(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e = _small_star(_large_star(e), canonical=True).localCheckpoint(
+            eager=False
+        )
         cur = _signature(e)
         if cur == prev:
             break
