@@ -31,6 +31,8 @@ Operator coverage map (SURVEY §2 ids in brackets):
   fixed_blocks          [P2 J1 F2]         fixed 64-char block dedup (-F)
   reconstruct_audit     [entry point C]    rep-text read-back + hash verify
   delta_spans           [F11/A3 backrefs]  shared-span delta descriptors
+  lcs_spans             [F11 suffix-array] exact longest-shared-span backref
+                                           (per-pair suffix array + LCP)
   delta_reconstruct     [bspatch analog]   APPLY descriptors: rebuild B from
                                            partner span + unique regions,
                                            byte-verify by sha (entry point C
@@ -469,6 +471,20 @@ def q_delta_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_spans(docs, pairs, SUB_MIN)
 
 
+def q_lcs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array pass [F11]: exact longest-common-substring backref per
+    verified substring pair — per-pair suffix array + vectorized LCP
+    (bsdiff qsufsort analog, bsdiff/bsdiff.c:~90-200), canonical offsets.
+    The oracle replays it in SQL as diagonal runs of L-window matches
+    (max run + L - 1 = exact LCS length when LCS >= L, which the verified
+    pair set guarantees)."""
+    from pcompress_spark.operators.reconstruct import lcs_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = q_substring_pairs(spark, sf_dir)
+    return lcs_spans(docs, pairs)
+
+
 def q_delta_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta READ-BACK [bspatch analog — entry point C completed]: apply
     every delta_spans descriptor — rebuild the pair's B side as B-prefix ⊕
@@ -591,6 +607,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "reconstruct_audit": q_reconstruct_audit,
     "delta_spans": q_delta_spans,
+    "lcs_spans": q_lcs_spans,
     "delta_reconstruct": q_delta_reconstruct,
     "embedding_ann_recall": q_embedding_ann_recall,
     "scan_filter_project": q_scan_filter_project,
@@ -798,6 +815,31 @@ FROM p
 JOIN wp a ON a.doc_id = p.id_a
 JOIN wp b ON b.doc_id = p.id_b AND b.g = a.g
 GROUP BY p.id_a, p.id_b
+""",
+    "lcs_spans": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),
+w AS (SELECT doc_id, substr(text, CAST(i AS INT), {SUB_MIN}) AS g, i
+      FROM d, unnest(range(1, length(text) - {SUB_MIN} + 2)) t(i)),
+wd AS (SELECT DISTINCT doc_id, g FROM w),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wd a JOIN wd b ON a.g = b.g AND a.doc_id < b.doc_id),
+m AS (SELECT p.id_a, p.id_b, a.i AS pa, b.i AS pb
+      FROM p JOIN w a ON a.doc_id = p.id_a
+             JOIN w b ON b.doc_id = p.id_b AND b.g = a.g),
+isl AS (SELECT id_a, id_b, pa, pb,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM m),
+runs AS (SELECT id_a, id_b, min(pa) AS off_a, min(pb) AS off_b,
+                count(*) + {SUB_MIN - 1} AS lcs_len
+         FROM isl GROUP BY id_a, id_b, pa - pb, grp),
+best AS (SELECT id_a, id_b, off_a, off_b, lcs_len,
+                row_number() OVER (PARTITION BY id_a, id_b
+                                   ORDER BY lcs_len DESC, off_a, off_b) AS rn
+         FROM runs)
+SELECT id_a, id_b, CAST(off_a AS BIGINT) AS off_a,
+       CAST(off_b AS BIGINT) AS off_b, CAST(lcs_len AS BIGINT) AS lcs_len
+FROM best WHERE rn = 1
 """,
     "delta_reconstruct": f"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),

@@ -175,3 +175,46 @@ def apply_delta_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def lcs_spans(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Suffix-array pass [F11]: the EXACT longest shared span per verified
+    substring pair — (off_a, off_b, lcs_len), offsets 1-based codepoints.
+
+    Where `delta_spans` estimates span length from L-window match counts
+    (exact only for one contiguous run), this is the maximal backref: a
+    per-pair suffix array + vectorized LCP (functions/suffix.py — the
+    bsdiff qsufsort analog, bsdiff/bsdiff.c:~90-200) extracts the true
+    longest span, canonically positioned (min off_a, then min off_b among
+    maximal spans) so the result is deterministic and SQL-replayable.
+
+    Scale shape: one Arrow batch row per VERIFIED pair (already
+    degree-capped + byte-confirmed upstream) — the suffix structure is
+    per-pair and bounded, never a global index; the only shuffle is the
+    two text-attach joins.
+    """
+    from pcompress_spark.operators.verify import attach_texts
+
+    @F.pandas_udf("struct<lcs_len: long, off_a: long, off_b: long>")
+    def lcs_udf(text_a, text_b):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        from pcompress_spark.functions.suffix import lcs_span_str
+
+        rows = [
+            lcs_span_str(a, b)
+            for a, b in zip(text_a.tolist(), text_b.tolist())
+        ]
+        return pd.DataFrame(rows, columns=["lcs_len", "off_a", "off_b"])
+
+    return (
+        attach_texts(pairs, docs)
+        .withColumn("_lcs", lcs_udf("text_a", "text_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_lcs.off_a") + 1).alias("off_a"),
+            (F.col("_lcs.off_b") + 1).alias("off_b"),
+            F.col("_lcs.lcs_len").alias("lcs_len"),
+        )
+    )
