@@ -1,0 +1,119 @@
+"""spark-submit entry point for the dedup pipeline (SURVEY M8).
+
+Cluster launch (the north-rule deployment shape — master/executor topology
+comes from spark-submit, never hard-coded here):
+
+    python scripts/make_pyfiles.py                       # -> dist/pcompress_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/pcompress_spark.zip \
+        jobs/run_dedup.py \
+        --input  ice.pages_or_parquet_dir \
+        --output /data/out/assignments \
+        --checkpoint-dir /data/ckpt/run1 \
+        --conf-override substring_min_len=2k
+
+Scaling evidence runs the SAME file at two cluster sizes (N and 4N
+executors; in-sandbox: local[2] vs local[8], see scripts/scaling_bench.py).
+
+Input: parquet (or, when the Iceberg connector is on the classpath, an
+`ice.`-prefixed table name) with columns (url, warc_ts, html, text, lang) —
+the BASELINE input_hint shape. `--gen-docs N` synthesizes a deterministic
+corpus instead, for smoke runs on boxes without data.
+
+Output: assignments parquet (url, doc_id, cluster_id, representative_url,
+is_representative) + checkpoints and `_lineage.jsonl` under
+--checkpoint-dir. Prints one JSON summary line prefixed `DEDUPRESULT `.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_cli(argv: list[str]) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages parquet path or ice.<table>")
+    src.add_argument(
+        "--gen-docs", type=int, help="synthesize N deterministic pages"
+    )
+    ap.add_argument("--output", required=True, help="assignments parquet dir")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument(
+        "--no-resume", action="store_true",
+        help="recompute even when checkpoints exist",
+    )
+    ap.add_argument(
+        "--conf-override", action="append", default=[],
+        metavar="FIELD=VALUE",
+        help="PipelineConfig field override; size fields take k/m/g "
+             "suffixes (repeatable)",
+    )
+    return ap.parse_args(argv)
+
+
+def build_config(overrides: list[str]):
+    from pcompress_spark.config import PipelineConfig
+
+    kv: dict[str, object] = {}
+    for item in overrides:
+        k, _, v = item.partition("=")
+        if not _:
+            raise SystemExit(f"--conf-override needs FIELD=VALUE, got {item!r}")
+        kv[k] = v
+    return PipelineConfig.from_args(**kv)
+
+
+def load_pages(spark, args):
+    if args.gen_docs:
+        from pcompress_spark.datagen import gen_pages_spark
+
+        return gen_pages_spark(
+            spark, args.gen_docs,
+            partitions=spark.sparkContext.defaultParallelism * 2,
+        )
+    if args.input.startswith("ice."):
+        return spark.read.table(args.input)
+    return spark.read.parquet(args.input)
+
+
+def main(argv: list[str]) -> int:
+    args = parse_cli(argv)
+    # SparkSession from spark-submit's conf — builder.getOrCreate() picks up
+    # --master/--num-executors/--conf; only job-level SQL tuning is added
+    # here, matching session.get_spark's pipeline settings.
+    from pcompress_spark.session import get_spark
+
+    spark = get_spark("pcompress-dedup")
+    from pcompress_spark.pipeline import DedupPipeline
+
+    cfg = build_config(args.conf_override)
+    pages = load_pages(spark, args)
+    t0 = time.time()
+    assignments = DedupPipeline(
+        spark, cfg,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=not args.no_resume,
+    ).run(pages)
+    assignments.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    n_clusters = out.select("cluster_id").distinct().count()
+    wall = round(time.time() - t0, 2)
+    print("DEDUPRESULT " + json.dumps({
+        "docs": n,
+        "clusters": n_clusters,
+        "dup_ratio": round(1.0 - n_clusters / n, 4) if n else 0.0,
+        "wall_s": wall,
+        "docs_per_sec": round(n / wall, 1) if wall else None,
+        "output": args.output,
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

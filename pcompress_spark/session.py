@@ -30,10 +30,12 @@ def get_spark(
     """
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER")
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # bare-python session: default to local[N]. Under spark-submit
+        # (gateway JVM already launched, master supplied via --master)
+        # leave master unset so the submit conf governs the topology.
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None and master is not None:
         # over-partition by default and let AQE coalesce: AQE can merge
         # small partitions but can never split big ones, and wide array
         # rows (shingle signatures) blow past the JVM's comfort zone fast —
@@ -48,10 +50,12 @@ def get_spark(
         else:
             shuffle_partitions = 512
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
+        builder
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         # concurrent jobs (candidate channels run from worker threads)
         # share cores fairly instead of convoying behind the first job
@@ -86,6 +90,15 @@ def get_spark(
 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    else:
+        # master came from spark-submit: size 4 waves from the REAL
+        # parallelism (runtime conf, safe to set post-create)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4 * spark.sparkContext.defaultParallelism, 16)),
+        )
     return spark
 
 

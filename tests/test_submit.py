@@ -1,0 +1,56 @@
+"""spark-submit --py-files deployment path (SURVEY M8, north-rule ship shape).
+
+Proves the packaged zip alone supplies the engine: the job subprocess runs
+from a scratch cwd with PYTHONPATH stripped, so any import that leaks past
+the --py-files artifact fails loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyspark
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_spark_submit_pyfiles_roundtrip(tmp_path) -> None:
+    zip_path = tmp_path / "pcompress_spark.zip"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles.py"),
+         str(zip_path)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert zip_path.exists()
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out_dir = tmp_path / "assignments"
+    job = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--py-files", str(zip_path),
+         os.path.join(REPO, "jobs", "run_dedup.py"),
+         "--gen-docs", "600",
+         "--output", str(out_dir),
+         "--checkpoint-dir", str(tmp_path / "ckpt")],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path), env=env,
+    )
+    assert job.returncode == 0, job.stderr[-3000:]
+    result_lines = [
+        ln for ln in job.stdout.splitlines() if ln.startswith("DEDUPRESULT ")
+    ]
+    assert len(result_lines) == 1, job.stdout[-2000:]
+    rec = json.loads(result_lines[0][len("DEDUPRESULT "):])
+    assert rec["docs"] == 600
+    assert 0 < rec["clusters"] < 600          # real dup structure found
+    assert rec["parallelism"] == 4            # --master governed, not code
+    assert os.path.exists(out_dir / "_SUCCESS")
