@@ -498,6 +498,20 @@ def q_delta_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_delta_spans(docs, spans)
 
 
+def q_lcs_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array read-back [F11 + entry point C]: apply the EXACT
+    maximal backref — rebuild B as B-prefix ⊕ A's lcs span ⊕ B-suffix and
+    byte-verify by sha256. Unlike delta_reconstruct's window estimate
+    (exact only for contiguous runs), the lcs span is verbatim-shared by
+    construction, so sha_ok must be TRUE on every row — any false row is
+    a bug in the suffix-array pass or the apply arithmetic."""
+    from pcompress_spark.operators.reconstruct import apply_delta_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spans = q_lcs_spans(spark, sf_dir)
+    return apply_delta_spans(docs, spans, span_col="lcs_len")
+
+
 ANN_RECALL_TAU = 0.4   # strong-pair threshold the LSH retrieval must cover
 ANN_CERT_BITS = 3      # b=3/T=24: per-pair miss P ~= 2e-5 at cos 0.4
 ANN_CERT_TABLES = 24
@@ -608,6 +622,7 @@ QUERIES = {
     "reconstruct_audit": q_reconstruct_audit,
     "delta_spans": q_delta_spans,
     "lcs_spans": q_lcs_spans,
+    "lcs_reconstruct": q_lcs_reconstruct,
     "delta_reconstruct": q_delta_reconstruct,
     "embedding_ann_recall": q_embedding_ann_recall,
     "scan_filter_project": q_scan_filter_project,
@@ -840,6 +855,38 @@ best AS (SELECT id_a, id_b, off_a, off_b, lcs_len,
 SELECT id_a, id_b, CAST(off_a AS BIGINT) AS off_a,
        CAST(off_b AS BIGINT) AS off_b, CAST(lcs_len AS BIGINT) AS lcs_len
 FROM best WHERE rn = 1
+""",
+    "lcs_reconstruct": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),
+w AS (SELECT doc_id, substr(text, CAST(i AS INT), {SUB_MIN}) AS g, i
+      FROM d, unnest(range(1, length(text) - {SUB_MIN} + 2)) t(i)),
+wd AS (SELECT DISTINCT doc_id, g FROM w),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wd a JOIN wd b ON a.g = b.g AND a.doc_id < b.doc_id),
+m AS (SELECT p.id_a, p.id_b, a.i AS pa, b.i AS pb
+      FROM p JOIN w a ON a.doc_id = p.id_a
+             JOIN w b ON b.doc_id = p.id_b AND b.g = a.g),
+isl AS (SELECT id_a, id_b, pa, pb,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM m),
+runs AS (SELECT id_a, id_b, min(pa) AS off_a, min(pb) AS off_b,
+                count(*) + {SUB_MIN - 1} AS lcs_len
+         FROM isl GROUP BY id_a, id_b, pa - pb, grp),
+best AS (SELECT id_a, id_b, off_a, off_b, lcs_len,
+                row_number() OVER (PARTITION BY id_a, id_b
+                                   ORDER BY lcs_len DESC, off_a, off_b) AS rn
+         FROM runs)
+SELECT b.id_a, b.id_b, CAST(b.off_a AS BIGINT) AS off_a,
+       CAST(b.off_b AS BIGINT) AS off_b, CAST(b.lcs_len AS BIGINT) AS lcs_len,
+       sha256(substr(db.text, 1, CAST(b.off_b - 1 AS INT))
+              || substr(da.text, CAST(b.off_a AS INT), CAST(b.lcs_len AS INT))
+              || substr(db.text, CAST(b.off_b + b.lcs_len AS INT)))
+         = sha256(db.text) AS sha_ok
+FROM best b
+JOIN documents da ON da.doc_id = b.id_a
+JOIN documents db ON db.doc_id = b.id_b
+WHERE b.rn = 1
 """,
     "delta_reconstruct": f"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),

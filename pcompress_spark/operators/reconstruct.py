@@ -128,7 +128,9 @@ def delta_spans(
     )
 
 
-def apply_delta_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+def apply_delta_spans(
+    docs: DataFrame, spans: DataFrame, span_col: str = "est_span_len"
+) -> DataFrame:
     """CONSUME the backref descriptors: rebuild each pair's B side from the
     partner's span + B's own unique regions, then byte-verify by content
     hash — the bspatch read-back (bsdiff/bspatch.c:268 applying copy+extra
@@ -143,9 +145,11 @@ def apply_delta_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
                   ⊕ B[off_b+est_span_len .. ]             (unique suffix)
         sha_ok    = sha256(rebuilt_b) == sha256(B)
     All codegen (substring/concat/sha2) — no Python, no text shuffle
-    beyond the two partner-text joins. est_span_len is exact for
-    contiguous shared runs (delta_spans contract), so sha_ok certifies
-    both the descriptor arithmetic and the application path.
+    beyond the two partner-text joins. With the default span_col
+    (est_span_len, from delta_spans) the length is exact for contiguous
+    shared runs; with span_col="lcs_len" (from lcs_spans, the suffix-array
+    pass) the span is verbatim-shared by construction, so sha_ok must hold
+    for EVERY pair — the strongest read-back certificate.
     """
     ta = docs.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
@@ -155,9 +159,9 @@ def apply_delta_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
     )
     rebuilt = F.concat(
         F.expr("substring(text_b, 1, cast(off_b - 1 as int))"),
-        F.expr("substring(text_a, cast(off_a as int), cast(est_span_len as int))"),
+        F.expr(f"substring(text_a, cast(off_a as int), cast({span_col} as int))"),
         F.expr(
-            "substring(text_b, cast(off_b + est_span_len as int),"
+            f"substring(text_b, cast(off_b + {span_col} as int),"
             " length(text_b))"
         ),
     )
@@ -169,7 +173,7 @@ def apply_delta_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
             "id_b",
             "off_a",
             "off_b",
-            "est_span_len",
+            span_col,
             (F.sha2(rebuilt, 256) == F.sha2(F.col("text_b"), 256)).alias(
                 "sha_ok"
             ),

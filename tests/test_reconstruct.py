@@ -124,3 +124,37 @@ def test_apply_delta_spans_detects_corrupt_descriptor(spark):
     )
     out = apply_delta_spans(docs, spans).collect()
     assert len(out) == 1 and not out[0].sha_ok
+
+
+def test_lcs_spans_exact_even_when_shared_content_is_split(spark):
+    """The suffix-array pass must return the LONGEST single span when the
+    shared content is non-contiguous — the case where delta_spans'
+    window-count estimate over-counts (it sums windows across runs) and
+    only the exact backref rebuilds cleanly."""
+    from pcompress_spark.operators.reconstruct import (
+        apply_delta_spans,
+        lcs_spans,
+    )
+
+    rng = np.random.default_rng(17)
+    run_a = _rand_text(rng, 140)          # longest shared run
+    run_b = _rand_text(rng, 110)          # second, disjoint shared run
+    rows = [
+        (1, run_a + _rand_text(rng, 30) + run_b),
+        (2, run_b + _rand_text(rng, 55) + run_a),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+
+    out = lcs_spans(docs, pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.lcs_len == 140               # the longer run, exactly
+    assert (r.off_a, r.off_b) == (1, 110 + 55 + 1)  # 1-based positions
+
+    # the exact backref must rebuild byte-perfectly (verbatim by
+    # construction), even though the shared content is split in two
+    applied = apply_delta_spans(
+        docs, lcs_spans(docs, pairs), span_col="lcs_len"
+    ).collect()
+    assert len(applied) == 1 and applied[0].sha_ok
