@@ -16,7 +16,9 @@ streaming/ingest.py). The reference's commit machinery is likewise
 storage-real (index.c:335-453, pcompress.c:2909-2917).
 
 Lineage (metadata stream analog, meta_stream.c): one row per stage with
-rows / bytes / dup_ratio / wall_ms. Records accumulate driver-side and the
+rows / bytes / dup_ratio / wall_ms AND a per-partition breakdown (one
+entry per written data file with its rows/bytes — north-rule "per-
+partition lineage"). Records accumulate driver-side and the
 `_lineage.json` file is atomically rewritten through the filesystem on
 each append — append() is not supported on object stores, full rewrite of
 a small metadata file is.
@@ -55,6 +57,19 @@ class _HadoopFs:
 
     def size(self, uri: str) -> int:
         return int(self._fs.getContentSummary(self._jPath(uri)).getLength())
+
+    def list_files(self, uri: str) -> dict[str, int]:
+        """{file_name: bytes} for the direct children of `uri` (data files
+        only — hidden/_SUCCESS/_lineage entries skipped)."""
+        out: dict[str, int] = {}
+        for st in self._fs.listStatus(self._jPath(uri)):
+            if not st.isFile():
+                continue
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            out[name] = int(st.getLen())
+        return out
 
     def write_text(self, uri: str, data: str) -> None:
         out = self._fs.create(self._jPath(uri), True)
@@ -116,10 +131,15 @@ class CheckpointManager:
         name: str,
         build,
         extra_metrics: dict | None = None,
+        distinct_col: str | None = None,
     ) -> DataFrame:
         """Run `build()` unless `name` is already checkpointed; always return
         the checkpointed DataFrame (read back from storage, so downstream
         stages re-plan from a scan — lineage is truncated at every stage).
+
+        distinct_col: when given, the lineage row also carries
+        dup_ratio = 1 - countDistinct(col)/rows for this stage (e.g.
+        text_sha for sigs, cluster_id for assignments).
         """
         if self.resume and self.exists(name):
             return self.load(name)
@@ -128,7 +148,7 @@ class CheckpointManager:
         df.write.mode("overwrite").parquet(self.path(name))
         wall_ms = int((time.time() - t0) * 1000)
         out = self.load(name)
-        self._record(name, out, wall_ms, extra_metrics or {})
+        self._record(name, out, wall_ms, extra_metrics or {}, distinct_col)
         return out
 
     def note(self, stage: str, wall_ms: int, rows: int = -1, **extra) -> None:
@@ -141,19 +161,59 @@ class CheckpointManager:
 
     # -- lineage -----------------------------------------------------------
     def _record(
-        self, stage: str, df: DataFrame, wall_ms: int, extra: dict
+        self,
+        stage: str,
+        df: DataFrame,
+        wall_ms: int,
+        extra: dict,
+        distinct_col: str | None = None,
     ) -> None:
-        rows = df.count()  # metadata-only count from parquet footers
-        nbytes = self.fs.size(self.path(stage))
-        self._append_lineage(
-            {
-                "stage": stage,
-                "rows": rows,
-                "bytes": nbytes,
-                "wall_ms": wall_ms,
-                **extra,
-            }
-        )
+        """Stage lineage row with PER-PARTITION detail (north rule): one
+        entry per written data file (file == output partition) with its
+        rows and bytes, plus stage totals and optional dup_ratio.
+
+        Costs exactly one Spark job: rollup on the `_metadata.file_name`
+        hidden column gives per-file rows AND the grand total (and the
+        global distinct count when dup_ratio is requested) in a single
+        columnless scan of the just-written checkpoint — storage-agnostic,
+        no driver-side parquet footer walking."""
+        from pyspark.sql import functions as F
+
+        file_col = F.col("_metadata.file_name").alias("_f")
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        if distinct_col is not None:
+            aggs.append(F.countDistinct(distinct_col).alias("_nd"))
+        stats = df.rollup(file_col).agg(*aggs).collect()
+        sizes = self.fs.list_files(self.path(stage))
+        rows, nd = 0, None
+        partitions = []
+        for r in stats:
+            if r._f is None:                     # rollup grand-total row
+                rows = r._rows
+                nd = r._nd if distinct_col is not None else None
+            else:
+                partitions.append(
+                    {
+                        "file": r._f,
+                        "rows": r._rows,
+                        "bytes": sizes.get(r._f, -1),
+                    }
+                )
+        partitions.sort(key=lambda p: p["file"])
+        rec = {
+            "stage": stage,
+            "rows": rows,
+            "bytes": self.fs.size(self.path(stage)),
+            "wall_ms": wall_ms,
+            "n_partitions": len(partitions),
+            "partitions": partitions,
+            **extra,
+        }
+        if distinct_col is not None:
+            rec["dup_ratio"] = (
+                round(1.0 - nd / rows, 6) if rows else 0.0
+            )
+        self._append_lineage(rec)
 
     def _append_lineage(self, rec: dict) -> None:
         # lock: legacy concurrent channels note() from worker threads; the

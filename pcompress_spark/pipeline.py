@@ -85,7 +85,11 @@ class DedupPipeline:
         cfg, ckpt = self.cfg, self.ckpt
 
         with CacheScope():
-            sigs = ckpt.materialize("sigs", lambda: exact.build_sigs(pages, cfg))
+            sigs = ckpt.materialize(
+                "sigs",
+                lambda: exact.build_sigs(pages, cfg),
+                distinct_col="text_sha",   # lineage dup_ratio: exact dups
+            )
 
             groups = exact.text_groups(sigs)
             # delegates (one per distinct text, text included) feed all three
@@ -138,7 +142,9 @@ class DedupPipeline:
                     )
 
             assignments = ckpt.materialize(
-                "assignments", lambda: self._assignments(sigs, edges)
+                "assignments",
+                lambda: self._assignments(sigs, edges),
+                distinct_col="cluster_id",  # lineage dup_ratio: all channels
             )
         return assignments
 

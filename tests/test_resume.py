@@ -60,6 +60,31 @@ def test_lineage_recorded(assignments_run):
             assert r["rows"] >= 0 and r["bytes"] > 0
 
 
+def test_lineage_per_partition_detail(assignments_run):
+    """North rule: checkpoints carry PER-PARTITION lineage (one entry per
+    written file with rows/bytes, summing to the stage totals) plus a
+    dup-ratio metric at the stages where it is defined."""
+    _, _, pipe = assignments_run
+    by_stage = {
+        r["stage"]: r for r in pipe.ckpt.lineage() if "partitions" in r
+    }
+    assert {"sigs", "candidates", "edges", "assignments"} <= set(by_stage)
+    for stage, r in by_stage.items():
+        parts = r["partitions"]
+        assert r["n_partitions"] == len(parts) >= 1
+        assert sum(p["rows"] for p in parts) == r["rows"]
+        assert all(p["bytes"] > 0 for p in parts)
+        assert sum(p["bytes"] for p in parts) <= r["bytes"]
+    # exact-dup ratio at sigs; all-channel cluster ratio at assignments
+    assert 0.0 < by_stage["sigs"]["dup_ratio"] < 1.0
+    assert (
+        by_stage["sigs"]["dup_ratio"]
+        <= by_stage["assignments"]["dup_ratio"]
+        < 1.0
+    )
+    assert "dup_ratio" not in by_stage["edges"]
+
+
 def test_checkpoint_probes_through_hadoop_fs_scheme(spark, tmp_path):
     """The checkpoint layer must work through a URI scheme (file://...),
     not bare os.path probes — the storage posture of the S3/HDFS + Iceberg
