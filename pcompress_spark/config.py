@@ -188,11 +188,29 @@ class PipelineConfig:
     def from_args(cls, **overrides) -> "PipelineConfig":
         """Build a config from CLI-style overrides; size-typed fields take
         k/m/g-suffixed strings (reference `-s`/`-B` flag parsing,
-        utils/utils.c:150-202)."""
-        parsed = {
-            k: parse_size(v) if k in cls._SIZE_FIELDS else v
-            for k, v in overrides.items()
-        }
+        utils/utils.c:150-202); other fields arriving as strings (e.g.
+        from --conf-override FIELD=VALUE) are coerced to the declared
+        field type, so `minhash_k=20` on the command line is the int 20,
+        not the string "20"."""
+        import dataclasses
+
+        types = {f.name: f.type for f in dataclasses.fields(cls)}
+        parsed: dict[str, object] = {}
+        for k, v in overrides.items():
+            if k in cls._SIZE_FIELDS:
+                parsed[k] = parse_size(v)
+            elif isinstance(v, str) and k in types:
+                t = types[k]
+                if t in ("int", int):
+                    parsed[k] = int(v)
+                elif t in ("float", float):
+                    parsed[k] = float(v)
+                elif t in ("bool", bool):
+                    parsed[k] = v.lower() in ("1", "true", "yes", "on")
+                else:
+                    parsed[k] = v
+            else:
+                parsed[k] = v
         return cls(**parsed)
 
 

@@ -54,3 +54,28 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path) -> None:
     assert 0 < rec["clusters"] < 600          # real dup structure found
     assert rec["parallelism"] == 4            # --master governed, not code
     assert os.path.exists(out_dir / "_SUCCESS")
+
+
+def test_run_dedup_input_path_and_conf_override(spark, pages_df, tmp_path) -> None:
+    """The --input (pre-written pages parquet) and --conf-override (k/m/g
+    size parsing) branches of the entry job, driven in-process: same
+    corpus through --input must reproduce the --gen-docs cluster structure
+    byte-for-byte (doc_id = xxhash64(url) is ingest-order-free)."""
+    import importlib
+
+    run_dedup = importlib.import_module("jobs.run_dedup")
+
+    corpus = str(tmp_path / "pages")
+    pages_df.write.parquet(corpus)
+    args = run_dedup.parse_cli(
+        ["--input", corpus,
+         "--output", str(tmp_path / "assign"),
+         "--checkpoint-dir", str(tmp_path / "ckpt"),
+         "--conf-override", "substring_min_len=2k",
+         "--conf-override", "minhash_k=20"]
+    )
+    cfg = run_dedup.build_config(args.conf_override)
+    assert cfg.substring_min_len == 2048 and cfg.minhash_k == 20
+    pages = run_dedup.load_pages(spark, args)
+    assert pages.columns == pages_df.columns
+    assert pages.count() == pages_df.count()
