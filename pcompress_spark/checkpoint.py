@@ -192,7 +192,10 @@ class CheckpointManager:
         rec = {
             "stage": stage,
             "rows": rows,
-            "bytes": self.fs.size(self.path(stage)),
+            # data bytes from the listing already in hand — a second
+            # recursive getContentSummary walk is one more object-store
+            # LIST round-trip per stage for the same answer
+            "bytes": sum(sizes.values()),
             "wall_ms": wall_ms,
             "n_partitions": len(partitions),
             "partitions": partitions,

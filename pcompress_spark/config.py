@@ -206,12 +206,37 @@ class PipelineConfig:
                 elif t in ("float", float):
                     parsed[k] = float(v)
                 elif t in ("bool", bool):
-                    parsed[k] = v.lower() in ("1", "true", "yes", "on")
+                    parsed[k] = _parse_bool(k, v)
+                elif t == "bool | str":
+                    # union fields (concurrent_channels): bool literals
+                    # coerce, sentinels like "auto" pass through
+                    low = v.lower()
+                    parsed[k] = (
+                        _parse_bool(k, v)
+                        if low in _BOOL_WORDS
+                        else v
+                    )
                 else:
                     parsed[k] = v
             else:
                 parsed[k] = v
         return cls(**parsed)
+
+
+_BOOL_WORDS = frozenset(
+    ("1", "true", "yes", "on", "0", "false", "no", "off")
+)
+
+
+def _parse_bool(field: str, v: str) -> bool:
+    """Strict bool parsing for CLI overrides — a typo must error, not
+    silently become False (parse_size sets the precedent)."""
+    low = v.lower()
+    if low in ("1", "true", "yes", "on"):
+        return True
+    if low in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"{field}: expected a boolean literal, got {v!r}")
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -640,6 +640,32 @@ SELECT id_a, id_b, inter_cnt, union_cnt, jaccard
 FROM pairjac WHERE jaccard >= {TAU}
 """
 
+# shared CTE chain for the suffix-array oracles: window matches -> diagonal
+# gaps-and-islands -> maximal runs -> canonical best row per pair (exact LCS
+# when LCS >= L, which the verified pair set guarantees). ONE definition so
+# lcs_spans and lcs_reconstruct can never drift.
+_SQL_LCS_BEST = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),
+w AS (SELECT doc_id, substr(text, CAST(i AS INT), {SUB_MIN}) AS g, i
+      FROM d, unnest(range(1, length(text) - {SUB_MIN} + 2)) t(i)),
+wd AS (SELECT DISTINCT doc_id, g FROM w),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wd a JOIN wd b ON a.g = b.g AND a.doc_id < b.doc_id),
+m AS (SELECT p.id_a, p.id_b, a.i AS pa, b.i AS pb
+      FROM p JOIN w a ON a.doc_id = p.id_a
+             JOIN w b ON b.doc_id = p.id_b AND b.g = a.g),
+isl AS (SELECT id_a, id_b, pa, pb,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM m),
+runs AS (SELECT id_a, id_b, min(pa) AS off_a, min(pb) AS off_b,
+                count(*) + {SUB_MIN - 1} AS lcs_len
+         FROM isl GROUP BY id_a, id_b, pa - pb, grp),
+best AS (SELECT id_a, id_b, off_a, off_b, lcs_len,
+                row_number() OVER (PARTITION BY id_a, id_b
+                                   ORDER BY lcs_len DESC, off_a, off_b) AS rn
+         FROM runs)"""
+
 ORACLES = {
     "exact_identity": """
 WITH d AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
@@ -832,51 +858,13 @@ JOIN wp b ON b.doc_id = p.id_b AND b.g = a.g
 GROUP BY p.id_a, p.id_b
 """,
     "lcs_spans": f"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),
-w AS (SELECT doc_id, substr(text, CAST(i AS INT), {SUB_MIN}) AS g, i
-      FROM d, unnest(range(1, length(text) - {SUB_MIN} + 2)) t(i)),
-wd AS (SELECT DISTINCT doc_id, g FROM w),
-p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM wd a JOIN wd b ON a.g = b.g AND a.doc_id < b.doc_id),
-m AS (SELECT p.id_a, p.id_b, a.i AS pa, b.i AS pb
-      FROM p JOIN w a ON a.doc_id = p.id_a
-             JOIN w b ON b.doc_id = p.id_b AND b.g = a.g),
-isl AS (SELECT id_a, id_b, pa, pb,
-               pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
-                                       ORDER BY pa) AS grp
-        FROM m),
-runs AS (SELECT id_a, id_b, min(pa) AS off_a, min(pb) AS off_b,
-                count(*) + {SUB_MIN - 1} AS lcs_len
-         FROM isl GROUP BY id_a, id_b, pa - pb, grp),
-best AS (SELECT id_a, id_b, off_a, off_b, lcs_len,
-                row_number() OVER (PARTITION BY id_a, id_b
-                                   ORDER BY lcs_len DESC, off_a, off_b) AS rn
-         FROM runs)
+{_SQL_LCS_BEST}
 SELECT id_a, id_b, CAST(off_a AS BIGINT) AS off_a,
        CAST(off_b AS BIGINT) AS off_b, CAST(lcs_len AS BIGINT) AS lcs_len
 FROM best WHERE rn = 1
 """,
     "lcs_reconstruct": f"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUB_MIN}),
-w AS (SELECT doc_id, substr(text, CAST(i AS INT), {SUB_MIN}) AS g, i
-      FROM d, unnest(range(1, length(text) - {SUB_MIN} + 2)) t(i)),
-wd AS (SELECT DISTINCT doc_id, g FROM w),
-p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM wd a JOIN wd b ON a.g = b.g AND a.doc_id < b.doc_id),
-m AS (SELECT p.id_a, p.id_b, a.i AS pa, b.i AS pb
-      FROM p JOIN w a ON a.doc_id = p.id_a
-             JOIN w b ON b.doc_id = p.id_b AND b.g = a.g),
-isl AS (SELECT id_a, id_b, pa, pb,
-               pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
-                                       ORDER BY pa) AS grp
-        FROM m),
-runs AS (SELECT id_a, id_b, min(pa) AS off_a, min(pb) AS off_b,
-                count(*) + {SUB_MIN - 1} AS lcs_len
-         FROM isl GROUP BY id_a, id_b, pa - pb, grp),
-best AS (SELECT id_a, id_b, off_a, off_b, lcs_len,
-                row_number() OVER (PARTITION BY id_a, id_b
-                                   ORDER BY lcs_len DESC, off_a, off_b) AS rn
-         FROM runs)
+{_SQL_LCS_BEST}
 SELECT b.id_a, b.id_b, CAST(b.off_a AS BIGINT) AS off_a,
        CAST(b.off_b AS BIGINT) AS off_b, CAST(b.lcs_len AS BIGINT) AS lcs_len,
        sha256(substr(db.text, 1, CAST(b.off_b - 1 AS INT))

@@ -28,13 +28,16 @@ def get_spark(
     - shuffle_partitions sized to cores in local mode; on a cluster set it
       to ~2-3x total executor cores via spark-submit conf.
     """
-    if master is None:
-        master = os.environ.get("SPARK_GRAFT_MASTER")
-    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
-        # bare-python session: default to local[N]. Under spark-submit
-        # (gateway JVM already launched, master supplied via --master)
-        # leave master unset so the submit conf governs the topology.
-        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
+        # bare-python session: env override, then local[N] default. Under
+        # spark-submit (gateway JVM already launched, master supplied via
+        # --master) BOTH are ignored so the submit conf governs the
+        # topology — a stale SPARK_GRAFT_MASTER from a bench shell must
+        # not silently hijack a cluster deployment.
+        master = os.environ.get("SPARK_GRAFT_MASTER") or (
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
     if shuffle_partitions is None and master is not None:
         # over-partition by default and let AQE coalesce: AQE can merge
         # small partitions but can never split big ones, and wide array
@@ -92,9 +95,15 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    else:
-        # master came from spark-submit: size 4 waves from the REAL
-        # parallelism (runtime conf, safe to set post-create)
+    elif spark.sparkContext.getConf().get(
+        "spark.sql.shuffle.partitions", None
+    ) is None:
+        # master came from spark-submit and the operator did not set the
+        # conf explicitly: size 4 waves from the parallelism visible now
+        # (runtime conf, safe to set post-create). Caveat: under dynamic
+        # allocation few executors have registered at this point — on
+        # such clusters pass --conf spark.sql.shuffle.partitions
+        # explicitly (an explicit value is always honored here).
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(max(4 * spark.sparkContext.defaultParallelism, 16)),
