@@ -29,6 +29,10 @@ Operator coverage map (SURVEY §2 ids in brackets):
   token_counts          [F13-ish]          ws + BPE-ish token accounting
   doc_fingerprint       [F2 F4]            sha-256 prefix fingerprint
   fixed_blocks          [P2 J1 F2]         fixed 64-char block dedup (-F)
+  cdc_chunks            [P1 J1 F1: core]   content-defined chunking + chunk
+                                           dedup (rabin rolling-cut analog)
+  cdc_stats             [A4]               corpus dedup-ratio rollup over
+                                           CDC chunks
   reconstruct_audit     [entry point C]    rep-text read-back + hash verify
   delta_spans           [F11/A3 backrefs]  shared-span delta descriptors
   lcs_spans             [F11 suffix-array] exact longest-shared-span backref
@@ -407,6 +411,30 @@ def q_fixed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup [the reference's core
+    primitive — rabin/rabin_dedup.c:620-666 rolling-window cut predicate,
+    rabin/global/index.c chunk-checksum dedup index]: cut each doc where
+    the 16-char window fingerprint is sparse-low (mean chunk 64 chars),
+    then aggregate per distinct chunk. Boundaries move WITH content, so
+    shared spans dedup at any offset — unlike `fixed_blocks`, whose grid
+    alignment this query exists to beat (test_cdc.py pins that CDC finds
+    cross-doc shared chunks that fixed blocks miss under a 1-char shift).
+    Bounded (min/max) byte-domain variant: operators/cdc.cdc_chunks_rolling,
+    property-tested vs a naive chunker."""
+    from pcompress_spark.operators import cdc
+
+    return cdc.chunk_dedup(cdc.chunk_explode(_docs(spark, sf_dir)))
+
+
+def q_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup-ratio rollup over CDC chunks — the reference's
+    headline statistic (dedupe stats: chunks total/unique, bytes saved)."""
+    from pcompress_spark.operators import cdc
+
+    return cdc.dedup_stats(cdc.chunk_explode(_docs(spark, sf_dir)))
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline over the embeddings table."""
     emb = _emb(spark, sf_dir)
@@ -614,6 +642,8 @@ QUERIES = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "fixed_blocks": q_fixed_blocks,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_stats": q_cdc_stats,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -772,6 +802,66 @@ WITH b AS (
 SELECT block_sha, count(*) AS n_blocks, count(DISTINCT doc_id) AS n_docs,
        min(doc_id) AS rep_doc
 FROM b GROUP BY block_sha
+""",
+    # _CDC_SQL replays operators/cdc.chunk_explode's boundary rule verbatim:
+    # cut after char i iff sha256 of the 16-char window ending at i starts
+    # below hex '04' (DuckDB sha256 == Spark sha2(,256) on identical
+    # char-domain substrings).
+    "cdc_chunks": """
+WITH d AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([CAST(0 AS BIGINT)],
+           list_filter(
+             list_transform(range(16, length(text) + 1),
+               i -> CASE WHEN substr(sha256(substr(text, CAST(i - 15 AS INT),
+                                     16)), 1, 2) < '04'
+                         THEN i ELSE -1 END),
+             x -> x > 0 AND x < length(text))),
+           [CAST(length(text) AS BIGINT)]) AS bounds
+  FROM documents WHERE length(text) > 0
+),
+c AS (
+  SELECT doc_id,
+         substr(sha256(substr(text, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
+                CAST(bounds[CAST(j AS INT) + 1]
+                     - bounds[CAST(j AS INT)] AS INT))), 1, 16) AS chunk_sha,
+         bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)] AS chunk_len
+  FROM d, unnest(range(1, len(bounds))) t(j)
+)
+SELECT chunk_sha, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS rep_doc, CAST(max(chunk_len) AS INT) AS chunk_len
+FROM c GROUP BY chunk_sha
+""",
+    "cdc_stats": """
+WITH d AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([CAST(0 AS BIGINT)],
+           list_filter(
+             list_transform(range(16, length(text) + 1),
+               i -> CASE WHEN substr(sha256(substr(text, CAST(i - 15 AS INT),
+                                     16)), 1, 2) < '04'
+                         THEN i ELSE -1 END),
+             x -> x > 0 AND x < length(text))),
+           [CAST(length(text) AS BIGINT)]) AS bounds
+  FROM documents WHERE length(text) > 0
+),
+c AS (
+  SELECT doc_id,
+         substr(sha256(substr(text, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
+                CAST(bounds[CAST(j AS INT) + 1]
+                     - bounds[CAST(j AS INT)] AS INT))), 1, 16) AS chunk_sha,
+         bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)] AS chunk_len
+  FROM d, unnest(range(1, len(bounds))) t(j)
+),
+per AS (
+  SELECT chunk_sha, count(*) AS n, max(chunk_len) AS l FROM c GROUP BY chunk_sha
+)
+SELECT CAST(sum(n) AS BIGINT) AS total_chunks,
+       CAST(count(*) AS BIGINT) AS distinct_chunks,
+       CAST(sum(n * l) AS BIGINT) AS total_chars,
+       CAST(sum(l) AS BIGINT) AS stored_chars,
+       round(CAST(sum(n * l) AS DOUBLE) / sum(l), 6) AS dedup_ratio
+FROM per
 """,
     "embedding_topk": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
