@@ -1,0 +1,230 @@
+"""Web-text curation operators: repetition stats, PII scrub, URL dedup,
+quality gating.
+
+These are the curation stages a Common-Crawl-style training-data pipeline
+runs between extraction and dedup (the reference's per-type analyzer +
+filter dispatch, analyzer.c:32-97 + pcompress.c:207-402, generalized to
+the web-corpus setting): Gopher-style repetition statistics, C4-style PII
+redaction, URL canonicalization (the cheapest dedup tier — no content
+reads at all), and a composite keep/drop gate.
+
+Everything is JVM-side column math / relational ops (whole-stage codegen;
+the word/bigram counters are explode -> groupBy, i.e. the same
+shuffle-bound shape as the shingle pipeline) — no Python in the hot path,
+so every operator here survives the 100-TB fan-out unchanged.
+
+Determinism contract (the driver's DuckDB oracle reproduces every output
+bit): counts are integers, fractions are integer-ratio comparisons or
+round-half-up to 1e-6 (the repo-wide convention, driver_queries.py:9-18),
+and thresshold decisions use cross-multiplied integer comparisons so no
+cross-engine float drift can flip a keep/drop verdict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# round-half-up to 1e-6 — identical in Spark and DuckDB (floor on a
+# per-row double is IEEE-deterministic)
+def _frac6(num: Column, den: Column) -> Column:
+    return F.when(den == 0, F.lit(0.0)).otherwise(
+        F.floor(num.cast("double") / den.cast("double") * 1e6 + F.lit(0.5)) / 1e6
+    )
+
+
+def word_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws) — whitespace-token array per doc, empty tokens dropped.
+
+    `filter(split(trim(text),'\\s+'), x -> x != '')` — all codegen; the
+    basis for every word-level statistic below.
+    """
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')"
+        ).alias("ws"),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition statistics per document.
+
+    Rahman et al. "Scaling Language Models" (Gopher) filter on the mass of
+    the most frequent n-grams; the reference's analyzer does the byte-level
+    analog (analyzer.c dispatches on byte-class histograms). Emitted per
+    doc: word totals, distinct counts, the most-frequent-word and
+    most-frequent-bigram mass, and their 1e-6-rounded fractions.
+
+    Shape: explode -> groupBy(doc_id, token) -> groupBy(doc_id) — two
+    shuffles on (doc_id, token) / doc_id, partial-aggregated map-side;
+    the full text never shuffles. Scale-safe at 10^12 docs.
+    """
+    ws = word_arrays(docs, text_col)
+    # per-(doc, word) counts -> per-doc totals
+    wc = (
+        ws.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_word = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("cnt").alias("top_word_cnt"),
+    )
+    # word bigrams (ordered): guard size<2 — Spark sequence(0,-1) would
+    # generate a DESCENDING sequence, not an empty one
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN"
+                " transform(sequence(0, size(ws) - 2),"
+                "           i -> concat(ws[i], ' ', ws[i+1]))"
+                " ELSE array() END"
+            )
+        ).alias("b"),
+    )
+    per_bigram = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram_cnt"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(per_word, "doc_id", "left")
+        .join(per_bigram, "doc_id", "left")
+    )
+    z = F.lit(0).cast("long")
+    for c in ("n_words", "n_distinct_words", "top_word_cnt", "n_bigrams",
+              "top_bigram_cnt"):
+        out = out.withColumn(c, F.coalesce(F.col(c), z))
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        (F.col("n_words") - F.col("n_distinct_words")).alias("dup_word_cnt"),
+        "top_word_cnt",
+        _frac6(F.col("top_word_cnt"), F.col("n_words")).alias("top_word_frac"),
+        "n_bigrams",
+        "top_bigram_cnt",
+        _frac6(F.col("top_bigram_cnt"), F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+# PII patterns — deliberately restricted to syntax with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): char classes, bounded repeats,
+# \b word boundaries; no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """(n_emails, n_phones, n_ips) — JVM regexp_count columns."""
+    return [
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(text, F.lit(IP_RE)).cast("long").alias("n_ips"),
+    ]
+
+
+def pii_redact(text: Column) -> Column:
+    """C4-style scrub: emails -> <EMAIL>, then phones -> <PHONE>, then
+    IPs -> <IP>. Order matters (phone digits could otherwise feed the IP
+    pattern); replacement strings contain no metacharacters in either
+    engine. All-JVM regexp_replace — codegen, no Python."""
+    r = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    r = F.regexp_replace(r, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(r, IP_RE, "<IP>")
+
+
+# URL canonicalization — the tier-0 dedup key. v1 scope (documented, pinned):
+# lowercase; drop http(s) scheme; drop leading www.; drop a query string
+# composed entirely of tracking params (utm_*/ref/fbclid/gclid); drop a
+# trailing slash. No group backrefs in replacements (Spark uses $1, DuckDB
+# \1 — avoided entirely so one pattern set serves both engines).
+_TRACKING_Q = (
+    r"\?((utm_[a-z]+|ref|fbclid|gclid)=[^&#]*&?)+$"
+)
+
+
+def normalize_url(url: Column) -> Column:
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, _TRACKING_Q, "")
+    return F.regexp_replace(u, r"/$", "")
+
+
+# DuckDB twins of the same steps (regexp_replace needs the 'g' flag there;
+# single-anchored patterns still get it for safety parity)
+NORMALIZE_URL_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower({u}),"
+    " '^https?://', '', 'g'),"
+    " '^www\\.', '', 'g'),"
+    " '\\?((utm_[a-z]+|ref|fbclid|gclid)=[^&#]*&?)+$', '', 'g'),"
+    " '/$', '', 'g')"
+)
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Tier-0 dedup: canonical-URL groups with earliest-doc representative.
+
+    The cheapest dedup tier — a pure-string shuffle on the canonical key,
+    no content read. Input needs (doc_id, url)."""
+    canon = pages.select(
+        "doc_id", normalize_url(F.col(url_col)).alias("canon_url")
+    )
+    groups = canon.groupBy("canon_url").agg(
+        F.min("doc_id").alias("url_rep"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
+    return canon.join(groups, "canon_url").select(
+        "doc_id", "canon_url", "url_rep", "n_variants"
+    )
+
+
+# quality-gate thresholds (documents-table calibration: n_words 10-99,
+# distinct/total 0.28-1.0, top_word_frac 0.05-0.30 at sf0.01 — each rule
+# fires on a real slice). Integer cross-multiplication only.
+GATE_MIN_WORDS = 15           # n_words < 15                -> too_short
+GATE_DUP_NUM, GATE_DUP_DEN = 11, 20    # dup_word_cnt/n_words > 0.55 -> repetitive
+GATE_TOP_NUM, GATE_TOP_DEN = 1, 6      # top_word_cnt/n_words > 1/6  -> top_word
+
+
+def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite keep/drop verdict with the FIRST failing rule as reason.
+
+    Rules (in order): too_short, repetitive (dup-word mass), top_word
+    (single-token domination). All comparisons are integer
+    cross-multiplications — bit-identical across engines by construction.
+    """
+    r = repetition_stats(docs, text_col)
+    reason = (
+        F.when(F.col("n_words") < GATE_MIN_WORDS, F.lit("too_short"))
+        .when(
+            F.col("dup_word_cnt") * GATE_DUP_DEN
+            > F.col("n_words") * GATE_DUP_NUM,
+            F.lit("repetitive"),
+        )
+        .when(
+            F.col("top_word_cnt") * GATE_TOP_DEN
+            > F.col("n_words") * GATE_TOP_NUM,
+            F.lit("top_word"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return r.select(
+        "doc_id",
+        "n_words",
+        "dup_word_cnt",
+        "top_word_cnt",
+        reason.alias("reason"),
+    ).withColumn("keep", (F.col("reason") == "ok").cast("int"))

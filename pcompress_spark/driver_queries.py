@@ -630,6 +630,118 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- webtext curation tier
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition statistics [F12 analog, training-data op]:
+    per-doc word/bigram totals, distinct counts, and most-frequent-token
+    mass (explode -> groupBy; analysis/webtext.py)."""
+    from pcompress_spark.analysis import webtext as WT
+
+    return WT.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop curation gate with first-failing-rule reason.
+    All verdicts are integer cross-multiplications (no float drift)."""
+    from pcompress_spark.analysis import webtext as WT
+
+    return WT.quality_gate(_docs(spark, sf_dir))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub (emails/phones/IPs -> typed placeholders).
+
+    The synthetic corpus contains no natural PII, so each doc is augmented
+    with a DETERMINISTIC planted contact block derived from doc_id (both
+    engines compute the identical augmented text); the oracle then
+    certifies that the match counts and the full redacted output
+    (sha-256) agree byte-for-byte across Spark's Java regex and DuckDB's
+    RE2 — i.e. the scrubber semantics, not the planting, are under test."""
+    from pcompress_spark.analysis import webtext as WT
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.7"),
+    )
+    d = d.select("doc_id", aug.alias("aug"))
+    red = WT.pii_redact(F.col("aug"))
+    return d.select(
+        "doc_id",
+        *WT.pii_counts(F.col("aug")),
+        F.length("aug").cast("long").alias("orig_len"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.sha2(red, 256).alias("redacted_sha"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-0 URL dedup: canonicalize raw URLs (case/scheme/www/tracking
+    params/trailing slash), group by canonical form, earliest-doc rep.
+
+    The documents table has no url column, so raw URLs are synthesized
+    DETERMINISTICALLY: every 4 consecutive doc_ids emit 4 surface variants
+    of one canonical URL (case+www / trailing slash / tracking query) —
+    the normalizer must collapse exactly those groups, which the oracle
+    reproduces independently."""
+    from pcompress_spark.analysis import webtext as WT
+
+    d = _docs(spark, sf_dir)
+    base = F.expr("CAST((doc_id - doc_id % 4) / 4 AS BIGINT)").cast("string")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://example.com/page/"), base))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW.Example.COM/page/"), base))
+        .when(v == 2, F.concat(F.lit("http://example.com/page/"), base, F.lit("/")))
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/page/"),
+                base,
+                F.lit("?utm_source=feed&utm_medium=rss"),
+            )
+        )
+    )
+    pages = d.select("doc_id", raw.alias("raw_url"))
+    out = WT.url_dedup(pages.select("doc_id", F.col("raw_url").alias("url")))
+    return (
+        pages.join(out, "doc_id")
+        .select("doc_id", "raw_url", "canon_url", "url_rep", "n_variants")
+    )
+
+
+def q_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup verdict per document — the tier-dedup rollup:
+    'exact' (identity sha dup of an earlier doc), else 'near' (member of a
+    verified near-dup cluster with an earlier rep), else 'unique'; rep_id
+    is the doc this one dedups to (itself when unique). Composes the
+    identity channel [J1/J2] with the LSH+CC channel [J3/J4/§4.3]."""
+    docs = _docs(spark, sf_dir)
+    sha = docs.select("doc_id", F.sha2("text", 256).alias("text_sha"))
+    reps = sha.groupBy("text_sha").agg(F.min("doc_id").alias("exact_rep"))
+    ex = sha.join(reps, "text_sha").select("doc_id", "exact_rep")
+    clusters = q_dedup_clusters(spark, sf_dir)  # doc_id, cluster_id (min)
+    j = ex.join(clusters, "doc_id")
+    is_exact = F.col("exact_rep") < F.col("doc_id")
+    is_near = F.col("cluster_id") < F.col("doc_id")
+    return j.select(
+        "doc_id",
+        F.when(is_exact, F.lit("exact"))
+        .when(is_near, F.lit("near"))
+        .otherwise(F.lit("unique"))
+        .alias("tier"),
+        F.when(is_exact, F.col("exact_rep"))
+        .when(is_near, F.col("cluster_id"))
+        .otherwise(F.col("doc_id"))
+        .alias("rep_id"),
+    )
+
+
 QUERIES = {
     "exact_identity": q_exact_identity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -660,6 +772,11 @@ QUERIES = {
     "window_rank_orders": q_window_rank_orders,
     "set_ops_parts": q_set_ops_parts,
     "events_hourly": q_events_hourly,
+    "repetition_stats": q_repetition_stats,
+    "quality_gate": q_quality_gate,
+    "pii_redact": q_pii_redact,
+    "url_dedup": q_url_dedup,
+    "dedup_tiers": q_dedup_tiers,
 }
 
 
@@ -695,6 +812,60 @@ best AS (SELECT id_a, id_b, off_a, off_b, lcs_len,
                 row_number() OVER (PARTITION BY id_a, id_b
                                    ORDER BY lcs_len DESC, off_a, off_b) AS rn
          FROM runs)"""
+
+# shared CTE for the webtext word/bigram statistics (repetition_stats and
+# quality_gate both read `stats` — ONE definition so they cannot drift).
+# DuckDB lists are 1-based; range(1, len) is empty for len <= 1, so the
+# bigram branch needs no size guard (unlike Spark's sequence()).
+_SQL_WORDSTATS = r"""
+wsrc AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(ws) AS w FROM wsrc) GROUP BY 1, 2),
+pw AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+              CAST(count(*) AS BIGINT) AS n_distinct_words,
+              CAST(max(cnt) AS BIGINT) AS top_word_cnt
+       FROM wc GROUP BY 1),
+bc AS (SELECT doc_id, b, count(*) AS cnt
+       FROM (SELECT doc_id,
+                    unnest(list_transform(range(1, len(ws)),
+                                          i -> ws[i] || ' ' || ws[i+1])) AS b
+             FROM wsrc) GROUP BY 1, 2),
+pb AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+              CAST(max(cnt) AS BIGINT) AS top_bigram_cnt
+       FROM bc GROUP BY 1),
+stats AS (
+  SELECT d.doc_id,
+         coalesce(pw.n_words, 0) AS n_words,
+         coalesce(pw.n_distinct_words, 0) AS n_distinct_words,
+         coalesce(pw.n_words, 0) - coalesce(pw.n_distinct_words, 0)
+           AS dup_word_cnt,
+         coalesce(pw.top_word_cnt, 0) AS top_word_cnt,
+         coalesce(pb.n_bigrams, 0) AS n_bigrams,
+         coalesce(pb.top_bigram_cnt, 0) AS top_bigram_cnt
+  FROM documents d
+  LEFT JOIN pw ON pw.doc_id = d.doc_id
+  LEFT JOIN pb ON pb.doc_id = d.doc_id
+)
+"""
+
+# DuckDB twins of webtext.EMAIL_RE / PHONE_RE / IP_RE (same strings; RE2
+# and Java regex agree on this restricted syntax) and of normalize_url
+_SQL_PII_AUG = """
+a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+           AS aug
+  FROM documents
+)
+"""
 
 ORACLES = {
     "exact_identity": """
@@ -1043,3 +1214,129 @@ FROM events
 GROUP BY 1, 2
 """,
 }
+
+
+def _webtext_oracles() -> dict[str, str]:
+    """Oracles for the webtext curation tier. Built by concatenation (not
+    f-strings) because the shared regex constants contain `{2,}` / `%`."""
+    from pcompress_spark.analysis import webtext as WT
+
+    rep = (
+        "WITH " + _SQL_WORDSTATS + """
+SELECT doc_id, n_words, n_distinct_words, dup_word_cnt, top_word_cnt,
+  CASE WHEN n_words = 0 THEN 0.0
+       ELSE floor(top_word_cnt * 1.0 / n_words * 1000000 + 0.5) / 1000000
+  END AS top_word_frac,
+  n_bigrams, top_bigram_cnt,
+  CASE WHEN n_bigrams = 0 THEN 0.0
+       ELSE floor(top_bigram_cnt * 1.0 / n_bigrams * 1000000 + 0.5) / 1000000
+  END AS top_bigram_frac
+FROM stats
+"""
+    )
+
+    gate = (
+        "WITH " + _SQL_WORDSTATS + """,
+g AS (
+  SELECT doc_id, n_words, dup_word_cnt, top_word_cnt,
+    CASE WHEN n_words < """ + str(WT.GATE_MIN_WORDS) + """ THEN 'too_short'
+         WHEN dup_word_cnt * """ + str(WT.GATE_DUP_DEN) + """ >
+              n_words * """ + str(WT.GATE_DUP_NUM) + """ THEN 'repetitive'
+         WHEN top_word_cnt * """ + str(WT.GATE_TOP_DEN) + """ >
+              n_words * """ + str(WT.GATE_TOP_NUM) + """ THEN 'top_word'
+         ELSE 'ok' END AS reason
+  FROM stats
+)
+SELECT doc_id, n_words, dup_word_cnt, top_word_cnt, reason,
+       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep
+FROM g
+"""
+    )
+
+    e, p, i = WT.EMAIL_RE, WT.PHONE_RE, WT.IP_RE
+    pii = (
+        "WITH " + _SQL_PII_AUG + """,
+r AS (
+  SELECT doc_id, aug,
+    regexp_replace(regexp_replace(regexp_replace(aug,
+      '""" + e + """', '<EMAIL>', 'g'),
+      '""" + p + """', '<PHONE>', 'g'),
+      '""" + i + """', '<IP>', 'g') AS red
+  FROM a
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '""" + e + """')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(aug, '""" + p + """')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(aug, '""" + i + """')) AS BIGINT) AS n_ips,
+  CAST(length(aug) AS BIGINT) AS orig_len,
+  CAST(length(red) AS BIGINT) AS redacted_len,
+  sha256(red) AS redacted_sha
+FROM r
+"""
+    )
+
+    url = (
+        """
+WITH r AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'https://example.com/page/' || b
+      WHEN 1 THEN 'HTTPS://WWW.Example.COM/page/' || b
+      WHEN 2 THEN 'http://example.com/page/' || b || '/'
+      ELSE 'https://example.com/page/' || b
+           || '?utm_source=feed&utm_medium=rss'
+    END AS raw_url
+  FROM (SELECT doc_id,
+               CAST(CAST((doc_id - doc_id % 4) / 4 AS BIGINT) AS VARCHAR) AS b
+        FROM documents)
+),
+c AS (SELECT doc_id, raw_url, """
+        + WT.NORMALIZE_URL_SQL.format(u="raw_url")
+        + """ AS canon_url FROM r),
+g AS (SELECT canon_url, min(doc_id) AS url_rep, count(*) AS n_variants
+      FROM c GROUP BY 1)
+SELECT c.doc_id, c.raw_url, c.canon_url, g.url_rep,
+       CAST(g.n_variants AS BIGINT) AS n_variants
+FROM c JOIN g USING (canon_url)
+"""
+    )
+
+    tiers = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+pairs AS (SELECT id_a, id_b FROM pairjac WHERE jaccard >= {TAU}),
+e(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a
+),
+cl AS (SELECT docs.doc_id,
+              least(docs.doc_id, coalesce(min(reach.b), docs.doc_id))
+                AS cluster_id
+       FROM documents docs LEFT JOIN reach ON reach.a = docs.doc_id
+       GROUP BY docs.doc_id),
+idh AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
+er AS (SELECT text_sha, min(doc_id) AS exact_rep FROM idh GROUP BY 1)
+SELECT i.doc_id,
+  CASE WHEN er.exact_rep < i.doc_id THEN 'exact'
+       WHEN cl.cluster_id < i.doc_id THEN 'near'
+       ELSE 'unique' END AS tier,
+  CASE WHEN er.exact_rep < i.doc_id THEN er.exact_rep
+       WHEN cl.cluster_id < i.doc_id THEN cl.cluster_id
+       ELSE i.doc_id END AS rep_id
+FROM idh i
+JOIN er USING (text_sha)
+JOIN cl ON cl.doc_id = i.doc_id
+"""
+
+    return {
+        "repetition_stats": rep,
+        "quality_gate": gate,
+        "pii_redact": pii,
+        "url_dedup": url,
+        "dedup_tiers": tiers,
+    }
+
+
+ORACLES.update(_webtext_oracles())

@@ -1,0 +1,153 @@
+"""Webtext curation tier: repetition stats, PII scrub, URL dedup, gate.
+
+Covers the exact arithmetic the driver oracle certifies (known-answer
+values on constructed docs), the edge cases the oracle corpus cannot hit
+(empty text, single word, exact-dup tier, partial URL groups), and the
+pinned v1 scope of the URL normalizer.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pcompress_spark.analysis import webtext as WT  # noqa: E402
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_repetition_stats_known_answers(spark):
+    rows = [
+        (1, "a a b"),            # words 3, distinct 2, bigrams: "a a","a b"
+        (2, ""),                 # empty -> all zeros
+        (3, "solo"),             # one word -> no bigrams
+        (4, "x x x x"),          # fully repetitive
+        (5, "  padded   ws \t"),  # whitespace runs collapse
+    ]
+    out = _by_id(WT.repetition_stats(_docs(spark, rows)))
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_distinct_words"], r1["dup_word_cnt"]) == (3, 2, 1)
+    assert (r1["top_word_cnt"], r1["n_bigrams"], r1["top_bigram_cnt"]) == (2, 2, 1)
+    assert r1["top_word_frac"] == 0.666667  # floor(2/3*1e6+0.5)/1e6
+    r2 = out[2]
+    assert r2["n_words"] == 0 and r2["top_word_frac"] == 0.0
+    assert r2["n_bigrams"] == 0 and r2["top_bigram_frac"] == 0.0
+    r3 = out[3]
+    assert (r3["n_words"], r3["n_bigrams"]) == (1, 0)
+    r4 = out[4]
+    assert r4["top_word_frac"] == 1.0 and r4["top_bigram_frac"] == 1.0
+    assert r4["dup_word_cnt"] == 3
+    assert out[5]["n_words"] == 2
+
+
+def test_quality_gate_reasons(spark):
+    ok_text = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, ok_text),                          # ok
+        (2, "just a few words here"),          # too_short (<15)
+        # 21 words, dup mass 12/21 > 0.55 -> repetitive fires before top_word
+        (3, " ".join(["dup"] * 13 + [f"u{i}" for i in range(8)])),
+        # 21 words, top word 6/21 > 1/6, dup 5/21 < 0.55
+        (4, " ".join(["t"] * 6 + [f"v{i}" for i in range(15)])),    # top_word
+    ]
+    out = _by_id(WT.quality_gate(_docs(spark, rows)))
+    assert out[1]["reason"] == "ok" and out[1]["keep"] == 1
+    assert out[2]["reason"] == "too_short"
+    assert out[3]["reason"] == "repetitive" and out[3]["keep"] == 0
+    assert out[4]["reason"] == "top_word"
+
+
+def test_pii_redact_and_counts(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org or call +44-201-5550 now"),
+        (2, "server at 192.168.10.7 fell over"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.co c@d.io and 10.0.0.1 8.8.8.8"),
+    ]
+    d = _docs(spark, rows)
+    out = _by_id(
+        d.select(
+            "doc_id",
+            *WT.pii_counts(F.col("text")),
+            WT.pii_redact(F.col("text")).alias("red"),
+        )
+    )
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[1]["red"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert out[2]["n_ips"] == 1 and "<IP>" in out[2]["red"]
+    assert out[3] == {"doc_id": 3, "n_emails": 0, "n_phones": 0, "n_ips": 0,
+                      "red": "no pii here at all"}
+    assert out[4]["n_emails"] == 2 and out[4]["n_ips"] == 2
+    assert out[4]["red"] == "two mails <EMAIL> <EMAIL> and <IP> <IP>"
+
+
+def test_normalize_url_pinned_v1_scope(spark):
+    cases = [
+        # (raw, canonical)
+        ("https://example.com/a", "example.com/a"),
+        ("HTTP://WWW.EXAMPLE.COM/A/", "example.com/a"),
+        ("http://example.com/a?utm_source=x", "example.com/a"),
+        ("http://example.com/a?utm_source=x&ref=rss&gclid=1", "example.com/a"),
+        # real query params survive (v1 drops only all-tracking queries)
+        ("http://example.com/a?page=2", "example.com/a?page=2"),
+        ("http://example.com/a?page=2&utm_source=x", "example.com/a?page=2&utm_source=x"),
+        # www only stripped as a leading label; scheme only at the front
+        ("https://notwww.example.com/b", "notwww.example.com/b"),
+        ("example.com/plain", "example.com/plain"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", WT.normalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_raw, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])
+
+
+def test_url_dedup_partial_groups(spark):
+    rows = [
+        (10, "https://example.com/x"),
+        (11, "HTTPS://WWW.example.com/x/"),
+        (12, "http://example.com/x?utm_source=a"),
+        (20, "https://other.org/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = _by_id(WT.url_dedup(df))
+    assert out[10]["canon_url"] == out[11]["canon_url"] == out[12]["canon_url"]
+    assert out[11]["url_rep"] == 10 and out[11]["n_variants"] == 3
+    assert out[20]["n_variants"] == 1 and out[20]["url_rep"] == 20
+
+
+def test_dedup_tiers_exact_and_near(spark, tmp_path):
+    """Plant an exact dup (missing from the oracle corpus) and a near dup;
+    run the driver-contract query end-to-end over a temp sf_dir."""
+    from pcompress_spark.driver_queries import q_dedup_tiers
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd waves along the riverbank at dusk "
+            "under a violet sky that slowly fades to black tonight")
+    near = base.replace("violet", "purple")
+    rows = [(0, base, "en", "s", len(base)),
+            (1, base, "en", "s", len(base)),        # exact dup of 0
+            (2, near, "en", "s", len(near)),        # near dup of 0
+            (3, "a completely different text about spark shuffle plans "
+                "partitioning strategies and broadcast joins at scale "
+                "with adaptive execution enabled for skewed key relief",
+             "en", "s", 150)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    out = _by_id(q_dedup_tiers(spark, sf_dir))
+    assert out[0]["tier"] == "unique" and out[0]["rep_id"] == 0
+    assert out[1]["tier"] == "exact" and out[1]["rep_id"] == 0
+    assert out[2]["tier"] == "near" and out[2]["rep_id"] == 0
+    assert out[3]["tier"] == "unique"
