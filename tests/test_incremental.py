@@ -1,0 +1,110 @@
+"""Incremental dedup index: full-run parity, cluster merges, identity tier.
+
+The headline property: splitting a corpus into batches and ingesting them
+incrementally yields EXACTLY the assignments a monolithic pipeline run
+over everything yields (labels included — the merge closure restores
+min-doc_id semantics across batch boundaries).
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pcompress_spark.config import PipelineConfig  # noqa: E402
+from pcompress_spark.operators.incremental import IncrementalDedupIndex  # noqa: E402
+
+
+def _as_map(df):
+    return {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def split_run(spark, pages_df, tmp_path_factory):
+    """Bootstrap on a deterministic half of the golden corpus, then ingest
+    the other half as an increment."""
+    idx_dir = str(tmp_path_factory.mktemp("incr_idx"))
+    half_a = pages_df.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    half_b = pages_df.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    idx = IncrementalDedupIndex(spark, PipelineConfig(), idx_dir)
+    idx.bootstrap(half_a)
+    idx.add_batch(half_b)
+    return idx
+
+
+def test_incremental_matches_full_run(split_run, assignments_run):
+    full_pdf, _ckpt, _pipe = assignments_run
+    full = dict(zip(full_pdf["doc_id"], full_pdf["cluster_id"]))
+    incr = _as_map(split_run.assignments())
+    assert len(incr) == len(full)
+    diff = {d: (c, full[d]) for d, c in incr.items() if full[d] != c}
+    assert not diff, f"{len(diff)} label mismatches, e.g. {list(diff.items())[:5]}"
+
+
+def test_merge_bridges_existing_clusters(spark, tmp_path):
+    """A batch doc near-duplicating two docs that bootstrapped into
+    separate clusters must merge them — and the merged label must be the
+    global min doc_id, exactly as one full run would label it."""
+    base = (
+        "the river cuts a slow arc through the valley while herons wade "
+        "the shallows and long barges slide beneath the iron bridge past "
+        "the flour mill whose wheel has not turned in forty years now"
+    )
+    # two corpus docs: far enough apart not to pair with each other, each
+    # close enough to the bridging batch doc
+    a = base + " " + " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    c = base + " " + " ".join(f"delta{i} epsil{i} zetaa{i}" for i in range(12))
+    bridge = base + " " + " ".join(
+        f"alpha{i} beta{i} gamma{i}" for i in range(6)
+    ) + " " + " ".join(f"delta{i} epsil{i} zetaa{i}" for i in range(6))
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [(u, t, "en") for u, t in rows], "url string, text string, lang string"
+        )
+
+    idx = IncrementalDedupIndex(spark, PipelineConfig(), str(tmp_path))
+    boot = _as_map(idx.bootstrap(pages([("u://a", a), ("u://c", c)])))
+    assert len(set(boot.values())) == 2, "bootstrap must make 2 clusters"
+
+    idx.add_batch(pages([("u://b", bridge)]))
+    res = _as_map(idx.assignments())
+    assert len(res) == 3
+    assert len(set(res.values())) == 1, f"expected one merged cluster: {res}"
+    assert set(res.values()) == {min(res.keys())}, "label must be global min"
+
+
+def test_identity_tier_skips_index_growth(spark, tmp_path):
+    """A batch doc byte-identical to a corpus doc joins its cluster via
+    the sha tier and appends nothing to sigs/keys."""
+    t1 = ("unique text one about winnowing anchors and rolling hashes "
+          "across shingles of sixteen characters with stable seeds") * 2
+    t2 = ("unique text two about pigeonhole simhash blocks and hamming "
+          "radius confirmation inside whole stage codegen pipelines") * 2
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [(u, t, "en") for u, t in rows], "url string, text string, lang string"
+        )
+
+    idx = IncrementalDedupIndex(spark, PipelineConfig(), str(tmp_path))
+    idx.bootstrap(pages([("u://1", t1), ("u://2", t2)]))
+    sigs_before = spark.read.parquet(f"{tmp_path}/sigs").count()
+    keys_before = spark.read.parquet(f"{tmp_path}/keys").count()
+
+    idx.add_batch(pages([("u://1-copy", t1)]))
+    assert spark.read.parquet(f"{tmp_path}/sigs").count() == sigs_before
+    assert spark.read.parquet(f"{tmp_path}/keys").count() == keys_before
+
+    res = _as_map(idx.assignments())
+    copy_id = {r["doc_id"] for r in
+               pages([("u://1-copy", t1)]).select(
+                   F.xxhash64("url").alias("doc_id")).collect()}.pop()
+    orig_id = {r["doc_id"] for r in
+               pages([("u://1", t1)]).select(
+                   F.xxhash64("url").alias("doc_id")).collect()}.pop()
+    assert res[copy_id] == min(copy_id, orig_id)
+    assert res[orig_id] == min(copy_id, orig_id)
