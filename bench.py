@@ -95,6 +95,14 @@ def main() -> None:
         # flagship corpus scales with sf: sf0.1 -> 60k pages
         n_docs = max(2000, int(600_000 * sf)) if sf > 0 else 20000
 
+    # some sandbox VMs deliver COLD anonymous pages at 0.01-0.4 GB/s
+    # (host-side fault path + virtio-balloon free-page reporting); fault
+    # the guest's memory in once so the engine runs on warm pages — see
+    # pcompress_spark/warmup.py. No-op on healthy machines.
+    from pcompress_spark.warmup import ensure_warm
+
+    ensure_warm()
+
     spark = get_spark("bench", master=f"local[{cpus}]")
     # warm the JVM/codegen so per-query timings measure the engine
     spark.range(1000).selectExpr("sum(id)").collect()

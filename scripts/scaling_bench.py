@@ -128,6 +128,15 @@ def main() -> None:
     # min-of-reps per leg (the sandbox has noisy co-tenants; the minimum
     # approximates quiet-machine performance), legs interleaved so drift
     # hits all legs equally
+    sys.path.insert(0, REPO)
+    from pcompress_spark.warmup import ensure_warm
+
+    # pay the VM's cold page-fault cost ONCE, before any leg: each leg
+    # boots a fresh JVM whose heap/shuffle pages otherwise fault through
+    # a host path measured at 0.01-0.4 GB/s on degraded sandbox VMs —
+    # 3-6x wall inflation concentrated in the shuffle stages, which
+    # would corrupt the N-vs-4N comparison unevenly
+    ensure_warm()
     input_path = gen_input(docs)
     runs: dict[int, list] = {c: [] for c in legs}
     for _ in range(reps):
