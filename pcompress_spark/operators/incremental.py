@@ -163,9 +163,13 @@ class IncrementalDedupIndex:
         Returns the batch's (doc_id, cluster_id) assignments (pre-closure
         labels — read `assignments()` for globally resolved ones).
 
-        Batch urls are assumed new (doc_id = xxhash64(url) collisions with
-        the corpus mean a re-crawl; upsert semantics belong to the table
-        format, not this operator)."""
+        Idempotent under at-least-once redelivery (the foreachBatch
+        contract, streaming/ingest.py): rows whose doc_id is already in
+        `assignments` are dropped before any work, so a re-delivered
+        micro-batch classifies to zero rows and appends nothing. A
+        re-crawled url (same doc_id = xxhash64(url), new content) is
+        likewise skipped — upsert semantics belong to the table format,
+        not this operator."""
         cfg, spark = self.cfg, self.spark
         with CacheScope():
             # PLAN BARRIERS (localCheckpoint, not just persist): in the
@@ -179,13 +183,19 @@ class IncrementalDedupIndex:
             # AttributeSet/missingInput before any task ran). An eager
             # localCheckpoint truncates the plan at executor storage —
             # the in-memory analog of the pipeline's durable barriers.
-            sigs = exact.build_sigs(pages, cfg).localCheckpoint(eager=True)
-            groups = exact.text_groups(sigs)
-            breps = tracked_persist(exact.representatives(sigs, groups))
-
             old_sigs = self._read("sigs")
             old_keys = self._read("keys")
             resolved = tracked_persist(self.assignments())
+
+            sigs = (
+                exact.build_sigs(pages, cfg)
+                .join(resolved.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if sigs.isEmpty():  # fully re-delivered batch: nothing to do
+                return sigs.select("doc_id", F.lit(0).cast("long").alias("cluster_id"))
+            groups = exact.text_groups(sigs)
+            breps = tracked_persist(exact.representatives(sigs, groups))
 
             # ---- tier 1: identity vs corpus (sha join against delegates)
             if old_sigs is not None:

@@ -166,6 +166,50 @@ def run_ingest(
     return q
 
 
+def run_ingest_neardup(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    stream_ckpt: str,
+    cfg=None,
+    max_files_per_trigger: int = 16,
+):
+    """Streaming NEAR-DUP ingestion: the full dedup pipeline as a stream.
+
+    Each micro-batch is classified against the persisted incremental
+    index (operators/incremental.py): identity sha tier, fused-key probe
+    of the touched corpus slice, the unchanged candidate/verify/CC
+    machinery, and append-only merge deltas — so cluster assignments
+    accrue across micro-batches with EXACT full-run label parity, the
+    streaming upgrade of the identity-only `run_ingest` above. The
+    reference's pipe mode rebuilds its similarity index per run
+    (SURVEY §2.8); this keeps it live across the stream.
+
+    Safe under foreachBatch's at-least-once delivery: `add_batch` drops
+    already-ingested doc_ids before any work (idempotent redelivery).
+    Returns the started query; `q._index` exposes the
+    IncrementalDedupIndex for reading `assignments()` after the drain.
+    """
+    from pcompress_spark.config import DEFAULT_CONFIG
+    from pcompress_spark.operators.incremental import IncrementalDedupIndex
+
+    idx = IncrementalDedupIndex(spark, cfg or DEFAULT_CONFIG, index_dir)
+
+    def _each(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            idx.add_batch(batch)
+
+    q = (
+        read_pages_stream(spark, landing_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_each)
+        .option("checkpointLocation", stream_ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q._index = idx  # test/read hook
+    return q
+
+
 def run_ingest_statestore(
     spark: SparkSession,
     landing_dir: str,

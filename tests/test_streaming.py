@@ -84,3 +84,43 @@ def test_statestore_ingest_dedups_across_batches(spark, tmp_path):
     seen_df = spark.read.parquet(seen)
     assert seen_df.count() == seen_df.select("text_sha").distinct().count()
     assert first < seen_df.count() <= first + 100
+
+
+def test_neardup_stream_matches_full_run(spark, pages_pdf, assignments_run,
+                                         tmp_path):
+    """Streaming near-dup ingestion (incremental index as the foreachBatch
+    body): two micro-batch drops accrue EXACTLY the monolithic full-run
+    assignments, and re-delivering every file (fresh stream checkpoint)
+    changes nothing (idempotency under at-least-once)."""
+    landing = str(tmp_path / "landing")
+    index_dir = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+
+    full_pdf, _ckpt, _pipe = assignments_run
+    full = dict(zip(full_pdf["doc_id"], full_pdf["cluster_id"]))
+
+    # drop 1 -> drain; drop 2 -> drain (same stream checkpoint: only the
+    # new file is processed — streaming resume, not a full rescan)
+    spark.createDataFrame(pages_pdf.iloc[:500]).coalesce(1).write.mode(
+        "overwrite").parquet(landing)
+    q = ingest.run_ingest_neardup(spark, landing, index_dir, ck)
+    q.awaitTermination(600)
+    spark.createDataFrame(pages_pdf.iloc[500:]).coalesce(1).write.mode(
+        "append").parquet(landing)
+    q2 = ingest.run_ingest_neardup(spark, landing, index_dir, ck)
+    q2.awaitTermination(600)
+
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in q2._index.assignments().collect()}
+    assert len(got) == len(full)
+    diff = {d: (c, full[d]) for d, c in got.items() if full[d] != c}
+    assert not diff, f"{len(diff)} mismatches, e.g. {list(diff.items())[:5]}"
+
+    # redelivery: fresh stream checkpoint reprocesses EVERY file; the
+    # index must absorb it as a no-op
+    q3 = ingest.run_ingest_neardup(spark, landing, index_dir,
+                                   str(tmp_path / "ck_redeliver"))
+    q3.awaitTermination(600)
+    again = {r["doc_id"]: r["cluster_id"]
+             for r in q3._index.assignments().collect()}
+    assert again == got
