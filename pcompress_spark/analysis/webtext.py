@@ -32,17 +32,20 @@ def _frac6(num: Column, den: Column) -> Column:
     )
 
 
-def word_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, ws) — whitespace-token array per doc, empty tokens dropped.
+# token = one CJK codepoint OR a maximal non-space non-CJK run. On
+# space-separated text this is exactly whitespace tokenization; on CJK
+# text (no word delimiters) each codepoint is its own token — the same
+# script dispatch the shingle pipeline applies (functions/hashing.py CJK
+# codepoint-domain shingles). Leftmost-first alternation, identical in
+# Java regex and RE2.
+TOKEN_RE = r"[一-龥]|[^\s一-龥]+"
 
-    `filter(split(trim(text),'\\s+'), x -> x != '')` — all codegen; the
-    basis for every word-level statistic below.
-    """
+
+def word_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws) — ordered token array per doc (TOKEN_RE, codegen)."""
     return docs.select(
         "doc_id",
-        F.expr(
-            f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')"
-        ).alias("ws"),
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0).alias("ws"),
     )
 
 

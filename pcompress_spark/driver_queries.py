@@ -815,13 +815,13 @@ best AS (SELECT id_a, id_b, off_a, off_b, lcs_len,
 
 # shared CTE for the webtext word/bigram statistics (repetition_stats and
 # quality_gate both read `stats` — ONE definition so they cannot drift).
+# Tokenizer = webtext.TOKEN_RE (whitespace tokens; CJK per codepoint).
 # DuckDB lists are 1-based; range(1, len) is empty for len <= 1, so the
 # bigram branch needs no size guard (unlike Spark's sequence()).
 _SQL_WORDSTATS = r"""
 wsrc AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(text), '\s+'),
-                     x -> x <> '') AS ws
+         regexp_extract_all(text, '[一-龥]|[^\s一-龥]+') AS ws
   FROM documents
 ),
 wc AS (SELECT doc_id, w, count(*) AS cnt

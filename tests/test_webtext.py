@@ -151,3 +151,21 @@ def test_dedup_tiers_exact_and_near(spark, tmp_path):
     assert out[1]["tier"] == "exact" and out[1]["rep_id"] == 0
     assert out[2]["tier"] == "near" and out[2]["rep_id"] == 0
     assert out[3]["tier"] == "unique"
+
+
+def test_repetition_cjk_codepoint_tokens(spark):
+    """CJK text has no word delimiters: each codepoint is a token (the
+    same script dispatch as the shingle pipeline), so the repetition and
+    gate statistics stay meaningful for zh docs instead of collapsing to
+    one giant 'word'."""
+    zh = "春眠不觉晓处处闻啼鸟夜来风雨声花落知多少" * 2  # 40 cp, each repeated 2x
+    mixed = "spark 任务 runs on 任务 clusters"
+    out = _by_id(WT.repetition_stats(_docs(spark, [(1, zh), (2, mixed)])))
+    r1 = out[1]
+    assert r1["n_words"] == 40
+    assert r1["n_distinct_words"] == 19  # 处 and 多... distinct cp count
+    r2 = out[2]
+    # tokens: spark, 任, 务, runs, on, 任, 务, clusters -> 8 total, 6 distinct
+    assert r2["n_words"] == 8
+    assert r2["n_distinct_words"] == 6
+    assert r2["top_word_cnt"] == 2
