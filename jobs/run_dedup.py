@@ -23,6 +23,13 @@ corpus instead, for smoke runs on boxes without data.
 Output: assignments parquet (url, doc_id, cluster_id, representative_url,
 is_representative) + checkpoints and `_lineage.jsonl` under
 --checkpoint-dir. Prints one JSON summary line prefixed `DEDUPRESULT `.
+
+Operating modes (--mode): `full` is the monolithic run above;
+`bootstrap`/`increment` persist/probe the incremental dedup index
+(operators/incremental.py) so daily increments classify without
+reprocessing the corpus; `stream` drains a landing directory through the
+near-dup stream (streaming/ingest.run_ingest_neardup). The last three
+write merge-resolved (doc_id, cluster_id) assignments.
 """
 
 from __future__ import annotations
@@ -41,6 +48,23 @@ def parse_cli(argv: list[str]) -> argparse.Namespace:
         "--gen-docs", type=int, help="synthesize N deterministic pages"
     )
     ap.add_argument("--output", required=True, help="assignments parquet dir")
+    ap.add_argument(
+        "--mode", default="full",
+        choices=("full", "bootstrap", "increment", "stream"),
+        help="full: monolithic pipeline run (default); bootstrap: full run "
+             "that also persists the incremental index to --index-dir; "
+             "increment: classify --input as a new batch against the "
+             "index; stream: drain --input as a landing dir of micro-batch "
+             "drops through the near-dup stream (availableNow)",
+    )
+    ap.add_argument(
+        "--index-dir", default=None,
+        help="incremental index location (bootstrap/increment/stream modes)",
+    )
+    ap.add_argument(
+        "--stream-checkpoint", default=None,
+        help="streaming checkpoint location (stream mode)",
+    )
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument(
         "--no-resume", action="store_true",
@@ -91,13 +115,39 @@ def main(argv: list[str]) -> int:
     from pcompress_spark.pipeline import DedupPipeline
 
     cfg = build_config(args.conf_override)
-    pages = load_pages(spark, args)
+    if args.mode in ("bootstrap", "increment", "stream") and not args.index_dir:
+        raise SystemExit(f"--mode {args.mode} requires --index-dir")
     t0 = time.time()
-    assignments = DedupPipeline(
-        spark, cfg,
-        checkpoint_dir=args.checkpoint_dir,
-        resume=not args.no_resume,
-    ).run(pages)
+    if args.mode == "stream":
+        # --input is a LANDING DIRECTORY of parquet drops, not one table
+        if not args.input:
+            raise SystemExit("--mode stream requires --input <landing dir>")
+        from pcompress_spark.streaming.ingest import run_ingest_neardup
+
+        q = run_ingest_neardup(
+            spark, args.input, args.index_dir,
+            args.stream_checkpoint or f"{args.index_dir}/_stream_ckpt",
+            cfg=cfg,
+        )
+        q.awaitTermination()
+        assignments = q._index.assignments()
+    elif args.mode in ("bootstrap", "increment"):
+        from pcompress_spark.operators.incremental import IncrementalDedupIndex
+
+        idx = IncrementalDedupIndex(spark, cfg, args.index_dir)
+        pages = load_pages(spark, args)
+        if args.mode == "bootstrap":
+            idx.bootstrap(pages)
+        else:
+            idx.add_batch(pages)
+        assignments = idx.assignments()
+    else:
+        pages = load_pages(spark, args)
+        assignments = DedupPipeline(
+            spark, cfg,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=not args.no_resume,
+        ).run(pages)
     assignments.write.mode("overwrite").parquet(args.output)
     # the engine window ends at the committed write — the audit re-reads
     # below are bookkeeping and must not deflate the reported docs/s

@@ -79,3 +79,33 @@ def test_run_dedup_input_path_and_conf_override(spark, pages_df, tmp_path) -> No
     pages = run_dedup.load_pages(spark, args)
     assert pages.columns == pages_df.columns
     assert pages.count() == pages_df.count()
+
+
+def test_run_dedup_bootstrap_then_increment_cli(spark, tmp_path) -> None:
+    """--mode bootstrap persists the index; a re-delivered --mode increment
+    over the same generated corpus is a no-op (idempotency through the CLI
+    path), and both outputs carry the same merge-resolved assignments."""
+    import importlib
+
+    run_dedup = importlib.import_module("jobs.run_dedup")
+    idx_dir = str(tmp_path / "idx")
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+
+    rc = run_dedup.main([
+        "--gen-docs", "60", "--mode", "bootstrap",
+        "--index-dir", idx_dir, "--output", out1,
+    ])
+    assert rc == 0
+    a1 = {r["doc_id"]: r["cluster_id"]
+          for r in spark.read.parquet(out1).collect()}
+    assert len(a1) == 60
+
+    rc = run_dedup.main([
+        "--gen-docs", "60", "--mode", "increment",
+        "--index-dir", idx_dir, "--output", out2,
+    ])
+    assert rc == 0
+    a2 = {r["doc_id"]: r["cluster_id"]
+          for r in spark.read.parquet(out2).collect()}
+    assert a2 == a1
