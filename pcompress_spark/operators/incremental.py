@@ -19,7 +19,9 @@ writes the same tables as Iceberg, giving atomic batch commits):
                   partitioned by shard = pmod(key, N_SHARDS) so a probe
                   join co-partitions and small batches prune shards
     assignments/  (doc_id, cluster_id) for every doc ever ingested, labels
-                  as-of that doc's batch
+                  as-of that doc's batch; shard-partitioned by
+                  pmod(xxhash64(doc_id), N_SHARDS) so redelivery checks
+                  and point lookups prune
     merges/       (old_cluster, new_cluster) — appended when a batch doc
                   bridges existing clusters; resolved at read time
 
@@ -113,9 +115,7 @@ class IncrementalDedupIndex:
             resume=False,
         )
         assignments = pipe.run(pages)
-        assignments.select("doc_id", "cluster_id").write.mode(
-            "overwrite"
-        ).parquet(self._p("assignments"))
+        self._write_assignments(assignments, mode="overwrite")
         # run() just materialized the sigs stage — read it back rather
         # than recomputing the signature UDF pass
         sigs = pipe.ckpt.load("sigs")
@@ -124,6 +124,21 @@ class IncrementalDedupIndex:
         self._append_keys(reps)
         return self.assignments()
 
+    def _write_assignments(self, df: DataFrame, mode: str) -> None:
+        """Assignments land shard-partitioned (pmod(xxhash64(doc_id), N))
+        like the streaming `seen` index: point lookups and the
+        redelivery anti-join then read only the shard partitions a batch
+        hashes into, not the whole ingest history."""
+        (
+            df.select("doc_id", "cluster_id")
+            .withColumn(
+                "shard", F.pmod(F.xxhash64("doc_id"), F.lit(N_SHARDS)).cast("int")
+            )
+            .write.mode(mode)
+            .partitionBy("shard")
+            .parquet(self._p("assignments"))
+        )
+
     # -------------------------------------------------------- assignments
     def assignments(self) -> DataFrame:
         """(doc_id, cluster_id) for every ingested doc, merge closure
@@ -131,6 +146,7 @@ class IncrementalDedupIndex:
         a = self._read("assignments")
         if a is None:
             return self.spark.createDataFrame([], _ASSIGN_SCHEMA)
+        a = a.select("doc_id", "cluster_id")  # drop the shard column
         m = self._read("merges")
         if m is None:
             return a
@@ -157,6 +173,198 @@ class IncrementalDedupIndex:
             .select("doc_id", "cluster_id")
         )
 
+    # ------------------------------------------------------ bipartite probe
+    def _bipartite_candidates(
+        self, fresh: DataFrame, old_keys: DataFrame | None, cfg: PipelineConfig
+    ) -> DataFrame:
+        """candidates(id_a, id_b, channels, mh_overlap, is_star) for every
+        pair with >= 1 fresh endpoint — the incremental analog of
+        fused_candidates with identical per-pair semantics:
+
+        - in-cap buckets: all (fresh x member) pairs, one row per shared
+          (ch, key), so the minhash groupBy count IS band co-occurrence;
+        - over-cap buckets: member <-> bucket-rep star pairs only (the
+          same downgrade bucket_pairs applies), restricted to pairs
+          touching a fresh doc; star rows are excluded from the band
+          count and compensated by the shared hot-key intersect, exactly
+          as operators/fused.py does, so mh_overlap stays the EXACT
+          signature overlap;
+        - hamming confirmation for simhash-proposed pairs via the stored
+          simhash of both endpoints.
+
+        Cost ∝ |fresh keys| x in-cap bucket width (<= max_bucket_docs),
+        independent of corpus size; the corpus contributes only its
+        stored keyed rows for the probed keys. Old docs' signatures and
+        winnow anchors are read from the index, never recomputed.
+        """
+        from pcompress_spark.operators.fused import CH_MINHASH, CH_SIMHASH, CH_WINNOW
+
+        bkeys = tracked_persist(
+            fused.fused_keyed_rows(fresh, cfg).select("doc_id", "ch", "key")
+        )
+        if old_keys is not None:
+            probe = bkeys.select("ch", "key").distinct()
+            matched_old = old_keys.join(probe, ["ch", "key"], "left_semi").select(
+                "doc_id", "ch", "key"
+            )
+            rows = bkeys.unionByName(matched_old)
+        else:
+            rows = bkeys
+        rows = tracked_persist(rows)
+        stats = tracked_persist(
+            rows.groupBy("ch", "key").agg(
+                F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep")
+            )
+        )
+        joined = rows.join(stats, ["ch", "key"])
+        incap = joined.filter(F.col("_n") <= cfg.max_bucket_docs).select(
+            "ch", "key", "doc_id"
+        )
+        fr = incap.join(fresh.select("doc_id"), "doc_id", "left_semi").select(
+            "ch", "key", F.col("doc_id").alias("fid")
+        )
+        pr = (
+            fr.join(
+                incap.select("ch", "key", F.col("doc_id").alias("oid")),
+                ["ch", "key"],
+            )
+            .filter(F.col("fid") != F.col("oid"))
+            .select(
+                "ch",
+                "key",
+                F.least("fid", "oid").alias("id_a"),
+                F.greatest("fid", "oid").alias("id_b"),
+            )
+            .distinct()  # fresh-fresh pairs arrive once from each side
+            .withColumn("is_star", F.lit(False))
+        )
+        hotj = joined.filter(F.col("_n") > cfg.max_bucket_docs)
+        star_all = hotj.filter(F.col("doc_id") != F.col("_rep")).select(
+            "ch",
+            "key",
+            F.least("doc_id", "_rep").alias("id_a"),
+            F.greatest("doc_id", "_rep").alias("id_b"),
+        )
+        fa = fresh.select(F.col("doc_id").alias("id_a"))
+        fb = fresh.select(F.col("doc_id").alias("id_b"))
+        star = (
+            star_all.join(fa, "id_a", "left_semi")
+            .unionByName(star_all.join(fb, "id_b", "left_semi"))
+            .distinct()
+            .withColumn("is_star", F.lit(True))
+        )
+        agg = pr.unionByName(star).groupBy("id_a", "id_b").agg(
+            F.sum(
+                F.when(
+                    (F.col("ch") == CH_MINHASH) & ~F.col("is_star"), 1
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("_mh_cnt"),
+            F.max(F.col("ch") == CH_MINHASH).alias("_mh_any"),
+            F.max(F.col("ch") == CH_SIMHASH).alias("_sh_bucket"),
+            F.max(F.col("ch") == CH_WINNOW).alias("_wn"),
+            F.max((F.col("ch") == CH_MINHASH) & F.col("is_star")).alias(
+                "is_star"
+            ),
+        )
+        # exact band count under the star downgrade: add the shared
+        # over-cap minhash bucket keys back (operators/fused.py:86-98)
+        hot_mh = stats.filter(
+            (F.col("_n") > cfg.max_bucket_docs) & (F.col("ch") == CH_MINHASH)
+        ).select("ch", "key")
+        hot_docs = (
+            rows.join(hot_mh, ["ch", "key"], "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("key").alias("_hk"))
+        )
+        ha = hot_docs.select(F.col("doc_id").alias("id_a"), F.col("_hk").alias("_hk_a"))
+        hb = hot_docs.select(F.col("doc_id").alias("id_b"), F.col("_hk").alias("_hk_b"))
+        agg = (
+            agg.join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .withColumn(
+                "_mh_cnt",
+                F.col("_mh_cnt")
+                + F.when(
+                    F.col("_hk_a").isNotNull() & F.col("_hk_b").isNotNull(),
+                    F.size(F.array_intersect("_hk_a", "_hk_b")),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hk_a", "_hk_b")
+        )
+        # hamming confirm for simhash-proposed pairs (stored sketches,
+        # pulled for pair endpoints only — never a full-corpus shuffle)
+        agg = tracked_persist(agg)
+        eids = (
+            agg.select(F.col("id_a").alias("doc_id"))
+            .unionByName(agg.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        sims = self._sim_lookup(fresh).join(eids, "doc_id", "left_semi")
+        sa = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
+        sb = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
+        scored = (
+            agg.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "_sh_ok",
+                F.col("_sh_bucket")
+                & (
+                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                    <= cfg.simhash_radius
+                ),
+            )
+        )
+        channels = F.array_compact(
+            F.array(
+                F.when(F.col("_mh_any"), F.lit("minhash")),
+                F.when(F.col("_sh_ok"), F.lit("simhash")),
+                F.when(F.col("_wn"), F.lit("winnow")),
+            )
+        )
+        mh_overlap = (
+            F.when(F.col("_mh_any"), F.col("_mh_cnt"))
+            if cfg.lsh_rows == 1
+            else F.lit(None)
+        )
+        return (
+            scored.withColumn("channels", channels)
+            .filter(F.size("channels") > 0)
+            .select(
+                "id_a",
+                "id_b",
+                "channels",
+                mh_overlap.cast("int").alias("mh_overlap"),
+                "is_star",
+            )
+        )
+
+    def _sim_lookup(self, fresh: DataFrame) -> DataFrame:
+        """(doc_id, simhash) for fresh delegates ∪ the stored corpus."""
+        sims = fresh.select("doc_id", "simhash")
+        old_sigs = self._read("sigs")
+        if old_sigs is not None:
+            sims = sims.unionByName(old_sigs.select("doc_id", "simhash"))
+        return sims
+
+    def _endpoint_reps(
+        self, pairs: DataFrame, fresh: DataFrame, old_sigs: DataFrame | None
+    ) -> DataFrame:
+        """Delegate rows (incl. text) for exactly the docs appearing as
+        pair endpoints — the only corpus rows the verify join ships."""
+        ids = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        reps = fresh
+        if old_sigs is not None:
+            reps = reps.unionByName(
+                old_sigs.join(ids, "doc_id", "left_semi")
+            )
+        return reps.localCheckpoint(eager=True)
+
     # ---------------------------------------------------------- add_batch
     def add_batch(self, pages: DataFrame) -> DataFrame:
         """Classify a new batch against the index; append its state.
@@ -170,6 +378,19 @@ class IncrementalDedupIndex:
         re-crawled url (same doc_id = xxhash64(url), new content) is
         likewise skipped — upsert semantics belong to the table format,
         not this operator."""
+        spark = self.spark
+        # size shuffles to the BATCH, not the session default: a 10k-doc
+        # increment at the session's 128 partitions spends more wall in
+        # task-scheduling latency than in work (measured: the candidate
+        # phase alone 43.9s at 128 partitions vs 14.9s at 32 on the same
+        # batch); restored on exit so co-resident jobs keep their sizing
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            return self._add_batch_inner(pages)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    def _add_batch_inner(self, pages: DataFrame) -> DataFrame:
         cfg, spark = self.cfg, self.spark
         with CacheScope():
             # PLAN BARRIERS (localCheckpoint, not just persist): in the
@@ -194,6 +415,11 @@ class IncrementalDedupIndex:
             )
             if sigs.isEmpty():  # fully re-delivered batch: nothing to do
                 return sigs.select("doc_id", F.lit(0).cast("long").alias("cluster_id"))
+            n_batch = sigs.count()
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(16, min(1024, n_batch // 400))),
+            )
             groups = exact.text_groups(sigs)
             breps = tracked_persist(exact.representatives(sigs, groups))
 
@@ -221,49 +447,45 @@ class IncrementalDedupIndex:
                 fresh = breps
             fresh = fresh.localCheckpoint(eager=True)
 
-            # ---- tier 2: probe the key index for the touched slice
-            if old_keys is not None and old_sigs is not None:
-                bkeys = fused.fused_keyed_rows(fresh, cfg).withColumn(
-                    "shard", F.pmod(F.col("key"), F.lit(N_SHARDS)).cast("int")
+            # ---- tier 2+3: bipartite probe of the key index. Pairs with
+            # at least one fresh endpoint are built DIRECTLY from a
+            # fresh-side bucket join against the STORED corpus keys — no
+            # old-old pairs are ever generated and no old doc's
+            # signatures/anchors are recomputed (a first version ran the
+            # full fused self-join over fresh ∪ touched and measured
+            # barely faster than rerunning the corpus: on a
+            # boilerplate-rich 100k corpus a 10k batch touches ~everything)
+            cands = self._bipartite_candidates(fresh, old_keys, cfg)
+            # reps rows (with text) are pulled ONLY for candidate
+            # endpoints — prefilter (r==1 band-count mode) and the degree
+            # cap need no row data; for r>1 prefilter recomputes overlap
+            # from minhash arrays, so pull before filtering then
+            if cfg.lsh_rows == 1:
+                filtered, _pre = verify.prefilter_candidates(
+                    cands, None, overlap_from_bands=True
                 )
-                touched = (
-                    old_keys.join(
-                        bkeys.select("shard", "ch", "key").distinct(),
-                        ["shard", "ch", "key"],
-                    )
-                    .select("doc_id")
-                    .distinct()
+                capped, _cap = verify.cap_candidate_degree(
+                    filtered, cfg.verify_degree_cap
                 )
-                active = fresh.unionByName(
-                    old_sigs.join(touched, "doc_id", "left_semi")
-                )
+                # PLAN BARRIER: the batch runs sigs→probe→prefilter→cap→
+                # verify→CC as ONE lazy tree (the full pipeline truncates
+                # lineage at its durable checkpoints; there are none
+                # here). Without a cut the CC rounds re-plan the whole
+                # tree and AQE's per-update plan stringification alone
+                # goes super-linear (measured: a 2-doc batch hung 10+
+                # minutes in explainString).
+                capped = capped.localCheckpoint(eager=True)
+                reps_act = self._endpoint_reps(capped, fresh, old_sigs)
             else:
-                active = fresh
-            active = active.localCheckpoint(eager=True)
-
-            # ---- tier 3: UNCHANGED candidate/verify machinery on the
-            # fresh ∪ touched slice; old-old pairs are already clustered
-            fresh_ids = fresh.select("doc_id")
-            cands, _hot = fused.fused_candidates(active, cfg)
-            fa = fresh_ids.withColumnRenamed("doc_id", "id_a")
-            fb = fresh_ids.withColumnRenamed("doc_id", "id_b")
-            cands = cands.join(fa, "id_a", "left_semi").unionByName(
-                cands.join(fb, "id_b", "left_semi")
-            ).distinct()
-            filtered, _pre = verify.prefilter_candidates(
-                cands, active, overlap_from_bands=(cfg.lsh_rows == 1)
-            )
-            capped, _cap = verify.cap_candidate_degree(
-                filtered, cfg.verify_degree_cap
-            )
-            # PLAN BARRIER: the batch runs sigs→fused→prefilter→cap→verify
-            # →CC as ONE lazy tree (the full pipeline truncates lineage at
-            # its durable checkpoints; there are none here). Without a cut
-            # the CC rounds re-plan the whole tree and AQE's per-update
-            # plan stringification alone goes super-linear (measured: a
-            # 2-doc batch hung for 10+ minutes in explainString).
-            capped = capped.localCheckpoint(eager=True)
-            fuzzy = verify.verify_edges(capped, active, cfg).select(
+                reps_act = self._endpoint_reps(cands, fresh, old_sigs)
+                filtered, _pre = verify.prefilter_candidates(
+                    cands, reps_act, overlap_from_bands=False
+                )
+                capped, _cap = verify.cap_candidate_degree(
+                    filtered, cfg.verify_degree_cap
+                )
+                capped = capped.localCheckpoint(eager=True)
+            fuzzy = verify.verify_edges(capped, reps_act, cfg).select(
                 "src", "dst"
             )
 
@@ -315,7 +537,7 @@ class IncrementalDedupIndex:
             batch_assign.count()
 
             # ---- append index state (fresh delegates only) + assignments
-            batch_assign.write.mode("append").parquet(self._p("assignments"))
+            self._write_assignments(batch_assign, mode="append")
             if not merges.isEmpty():
                 merges.write.mode("append").parquet(self._p("merges"))
             fresh.write.mode("append").parquet(self._p("sigs"))

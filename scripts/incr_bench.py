@@ -1,17 +1,17 @@
-"""Incremental-ingest benchmark: classify a daily increment vs re-running.
+"""Incremental-ingest benchmark: batch classification vs corpus size.
 
-The 100-TB economics of operators/incremental.py: once a corpus is
-bootstrapped, classifying a new batch should cost ~O(batch + touched
-slice), not O(corpus). This script measures, on one machine:
+The design claim of operators/incremental.py is CORPUS-INDEPENDENCE:
+classifying a fixed batch costs ~O(batch + probed slice), not O(corpus).
+This script measures the SAME batch against two corpus sizes and reports
 
-  bootstrap N docs            (one-time full pipeline)
-  add_batch M docs            (the daily-increment path)
-  full rerun over N+M docs    (what the increment path replaces)
+  add_batch wall at corpus C and 2C     (should be ~flat)
+  full pipeline rerun at C+B and 2C+B   (scales with corpus)
+  speedup_vs_rerun at each scale        (grows with corpus)
 
-and reports batch-classification docs/s plus the speedup over the rerun.
 Writes BENCH_INCR.json at the repo root.
 
 Usage: python scripts/incr_bench.py [--corpus N] [--batch M] [--cpus C]
+(corpus N is the LARGER corpus; the smaller one is N/2)
 """
 
 from __future__ import annotations
@@ -52,8 +52,6 @@ def main() -> None:
     spark = get_spark("incr-bench", master=f"local[{cpus}]")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # one corpus, deterministic split: the batch is the docs whose url
-    # hashes into the top slice — same generator the scaling bench uses
     total = corpus + batch
     all_path = f"/tmp/incr_input_{total}"
     if not os.path.exists(os.path.join(all_path, "_SUCCESS")):
@@ -63,46 +61,63 @@ def main() -> None:
     pages = spark.read.parquet(all_path)
     n_buckets = max(2, total // batch)
     split = F.pmod(F.xxhash64("url"), F.lit(n_buckets))
-    corpus_df = pages.filter(split != 0).localCheckpoint()
     batch_df = pages.filter(split == 0).localCheckpoint()
-    n_corpus, n_batch = corpus_df.count(), batch_df.count()
+    # same batch against half and full corpus (corpus split by a second
+    # independent hash so both contain the batch's near-dup partners)
+    corpus_full = pages.filter(split != 0).localCheckpoint()
+    corpus_half = corpus_full.filter(
+        F.pmod(F.xxhash64("url", F.lit(7)), F.lit(2)) == 0
+    ).localCheckpoint()
+    n_batch = batch_df.count()
 
-    idx_dir = "/tmp/incr_bench_idx"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    idx = IncrementalDedupIndex(spark, PipelineConfig(), idx_dir)
+    def run_scale(tag: str, corpus_df) -> dict:
+        n_corpus = corpus_df.count()
+        idx_dir = f"/tmp/incr_bench_idx_{tag}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        idx = IncrementalDedupIndex(spark, PipelineConfig(), idx_dir)
+        t0 = time.time()
+        idx.bootstrap(corpus_df)
+        t_boot = time.time() - t0
+        t0 = time.time()
+        idx.add_batch(batch_df)
+        idx.assignments().count()
+        t_batch = time.time() - t0
+        ckpt = f"/tmp/incr_bench_full_{tag}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.time()
+        DedupPipeline(
+            spark, PipelineConfig(), checkpoint_dir=ckpt, resume=False
+        ).run(corpus_df.unionByName(batch_df)).count()
+        t_full = time.time() - t0
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return {
+            "corpus_docs": n_corpus,
+            "bootstrap_s": round(t_boot, 1),
+            "add_batch_s": round(t_batch, 1),
+            "batch_docs_per_sec": round(n_batch / t_batch, 1),
+            "full_rerun_s": round(t_full, 1),
+            "speedup_vs_rerun": round(t_full / t_batch, 2),
+        }
 
-    t0 = time.time()
-    idx.bootstrap(corpus_df)
-    t_boot = time.time() - t0
-
-    t0 = time.time()
-    idx.add_batch(batch_df)
-    idx.assignments().count()
-    t_batch = time.time() - t0
-
-    ckpt = "/tmp/incr_bench_full_ckpt"
-    shutil.rmtree(ckpt, ignore_errors=True)
-    t0 = time.time()
-    DedupPipeline(
-        spark, PipelineConfig(), checkpoint_dir=ckpt, resume=False
-    ).run(pages).count()
-    t_full = time.time() - t0
-    shutil.rmtree(ckpt, ignore_errors=True)
-
+    half = run_scale("half", corpus_half)
+    full = run_scale("full", corpus_full)
     result = {
-        "corpus_docs": n_corpus,
         "batch_docs": n_batch,
         "cpus": cpus,
-        "bootstrap_s": round(t_boot, 1),
-        "add_batch_s": round(t_batch, 1),
-        "batch_docs_per_sec": round(n_batch / t_batch, 1),
-        "full_rerun_s": round(t_full, 1),
-        "speedup_vs_rerun": round(t_full / t_batch, 2),
+        "at_half_corpus": half,
+        "at_full_corpus": full,
+        "add_batch_corpus_scaling": round(
+            full["add_batch_s"] / half["add_batch_s"], 2
+        ),
+        "rerun_corpus_scaling": round(
+            full["full_rerun_s"] / half["full_rerun_s"], 2
+        ),
         "note": (
-            "add_batch cost tracks the batch + touched slice, not the "
-            "corpus; at production corpus:batch ratios (10^12 : 10^9) the "
-            "speedup is bounded by the probe's index-slice read, not by "
-            "corpus size"
+            "corpus-independence evidence: doubling the corpus should "
+            "leave add_batch ~flat (scaling ~1.0) while the full rerun "
+            "scales with corpus; at production corpus:batch ratios "
+            "(10^12:10^9) the increment path's advantage is this gap "
+            "compounded"
         ),
     }
     line = json.dumps(result)
