@@ -202,6 +202,21 @@ GATE_DUP_NUM, GATE_DUP_DEN = 11, 20    # dup_word_cnt/n_words > 0.55 -> repetiti
 GATE_TOP_NUM, GATE_TOP_DEN = 1, 6      # top_word_cnt/n_words > 1/6  -> top_word
 
 
+def curation_gate_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Apply the keep/drop gate to a PAGES frame (url/text/... schema):
+    returns (kept_pages, drop_log(reason, n)). The dedup pipeline runs
+    this ahead of signatures when cfg.curation_gate is on — curating
+    before sketching is the order a training-data pipeline wants (no
+    sketch budget spent on rejected docs), and drops are logged by
+    reason, never silent (the repo-wide cap/drop discipline)."""
+    d = pages.withColumn("doc_id", F.xxhash64("url"))
+    g = quality_gate(d)
+    j = d.join(g.select("doc_id", "keep", "reason"), "doc_id")
+    kept = j.filter(F.col("keep") == 1).drop("doc_id", "keep", "reason")
+    log = g.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    return kept, log
+
+
 def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite keep/drop verdict with the FIRST failing rule as reason.
 

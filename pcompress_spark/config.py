@@ -97,6 +97,14 @@ class PipelineConfig:
                                      # is unaffected). Drops are logged,
                                      # never silent (A7 bounded index,
                                      # rabin/global/index.c:539-547 analog)
+    curation_gate: bool = False      # run the webtext keep/drop gate
+                                     # (analysis/webtext.quality_gate)
+                                     # ahead of signatures: rejected docs
+                                     # never spend sketch budget; drops
+                                     # logged by reason under the
+                                     # checkpoint dir. Off by default —
+                                     # dedup semantics (golden fixtures)
+                                     # are defined over the full corpus.
     fused_channels: bool = True      # generate all three candidate channels
                                      # (minhash bands / simhash blocks /
                                      # winnow anchors) through ONE fused
