@@ -173,6 +173,29 @@ class IncrementalDedupIndex:
             .select("doc_id", "cluster_id")
         )
 
+    def compact(self) -> int:
+        """Fold the merge closure into the assignments table and clear
+        `merges/` — the periodic maintenance op of a long-lived index
+        (segcache compaction analog, rabin/global/index.c:335-453).
+        Returns the number of merge rows folded. Resolution semantics are
+        unchanged: before compaction readers resolve (assignments ∘
+        merges), after they read assignments directly.
+
+        The resolved frame is eagerly localCheckpoint-ed BEFORE the
+        overwrite so the rewrite never reads the files it is replacing;
+        on the production table format this whole op is one atomic
+        snapshot commit."""
+        m = self._read("merges")
+        if m is None:
+            return 0
+        n = m.count()
+        resolved = self.assignments().localCheckpoint(eager=True)
+        self._write_assignments(resolved, mode="overwrite")
+        from pcompress_spark.checkpoint import _HadoopFs
+
+        _HadoopFs(self.spark, self.index_dir).delete(self._p("merges"))
+        return n
+
     # ------------------------------------------------------ bipartite probe
     def _bipartite_candidates(
         self, fresh: DataFrame, old_keys: DataFrame | None, cfg: PipelineConfig

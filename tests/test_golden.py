@@ -53,3 +53,23 @@ def test_verified_jaccards_match_oracle(assignments_run, golden_pairs, golden_cl
     assert len(m) > 0
     diffs = (m["jaccard_p"] - m["jaccard_g"]).abs()
     assert diffs.max() < 1e-12
+
+
+def test_assignments_invariant_to_input_partitioning(spark, pages_df,
+                                                     assignments_run,
+                                                     tmp_path):
+    """North-rule determinism: the SAME corpus arriving in a different
+    physical layout (repartitioned 5-way vs the fixture's layout) yields
+    byte-identical cluster assignments — doc_id = xxhash64(url) and all
+    sketch seeds are content-derived, never partition- or order-derived."""
+    from pcompress_spark.config import PipelineConfig
+    from pcompress_spark.pipeline import DedupPipeline
+
+    full_pdf, _ckpt, _pipe = assignments_run
+    want = dict(zip(full_pdf["doc_id"], full_pdf["cluster_id"]))
+    out = DedupPipeline(
+        spark, PipelineConfig(), checkpoint_dir=str(tmp_path / "ck"),
+        resume=False,
+    ).run(pages_df.repartition(5, "lang"))
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == want

@@ -108,3 +108,45 @@ def test_identity_tier_skips_index_growth(spark, tmp_path):
                    F.xxhash64("url").alias("doc_id")).collect()}.pop()
     assert res[copy_id] == min(copy_id, orig_id)
     assert res[orig_id] == min(copy_id, orig_id)
+
+
+def test_compact_folds_merges(spark, tmp_path):
+    """compact() rewrites assignments with the merge closure applied and
+    clears merges/; resolution before == after, and later batches keep
+    working against the compacted index."""
+    base = ("the river cuts a slow arc through the valley while herons wade "
+            "the shallows and long barges slide beneath the iron bridge past "
+            "the flour mill whose wheel has not turned in forty years now")
+    a = base + " " + " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    c = base + " " + " ".join(f"delta{i} epsil{i} zetaa{i}" for i in range(12))
+    bridge = base + " " + " ".join(
+        f"alpha{i} beta{i} gamma{i}" for i in range(6)
+    ) + " " + " ".join(f"delta{i} epsil{i} zetaa{i}" for i in range(6))
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [(u, t, "en") for u, t in rows], "url string, text string, lang string"
+        )
+
+    idx = IncrementalDedupIndex(spark, PipelineConfig(), str(tmp_path))
+    idx.bootstrap(pages([("u://a", a), ("u://c", c)]))
+    idx.add_batch(pages([("u://b", bridge)]))     # bridges -> merge row
+    before = _as_map(idx.assignments())
+    assert len(set(before.values())) == 1
+
+    folded = idx.compact()
+    assert folded >= 1
+    assert idx._read("merges") is None            # cleared
+    after = _as_map(idx.assignments())
+    assert after == before                        # same resolution, no closure
+    # raw table already carries the folded labels
+    raw = {r["doc_id"]: r["cluster_id"] for r in
+           spark.read.parquet(f"{tmp_path}/assignments").collect()}
+    assert raw == before
+    assert idx.compact() == 0                     # idempotent
+
+    # the compacted index still ingests
+    d = base + " completely fresh tail " + " ".join(
+        f"qq{i} rr{i}" for i in range(14))
+    idx.add_batch(pages([("u://d", d)]))
+    assert len(_as_map(idx.assignments())) == 4
