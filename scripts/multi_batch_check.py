@@ -1,0 +1,117 @@
+"""Long-run incremental ingest check: many batches, one truth.
+
+Ingests a corpus as a sequence of batches through the incremental index
+(with a mid-sequence compact()), then runs the monolithic pipeline over
+the same corpus and asserts LABEL-EXACT parity. Reports per-batch wall
+times — the curve should stay ~flat as the index grows, the property the
+10^12-doc deployment depends on.
+
+Writes BENCH_MULTIBATCH.json at the repo root; exits non-zero on any
+parity mismatch (this is a check, not just a benchmark).
+
+Usage: python scripts/multi_batch_check.py [--docs N] [--batches K] [--cpus C]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    docs = 100_000
+    batches = 10
+    cpus = 32
+    if "--docs" in sys.argv:
+        docs = int(sys.argv[sys.argv.index("--docs") + 1])
+    if "--batches" in sys.argv:
+        batches = int(sys.argv[sys.argv.index("--batches") + 1])
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+
+    from pcompress_spark.warmup import ensure_warm
+
+    ensure_warm()
+
+    from pyspark.sql import functions as F
+
+    from pcompress_spark.config import PipelineConfig
+    from pcompress_spark.datagen import gen_pages_spark
+    from pcompress_spark.operators.incremental import IncrementalDedupIndex
+    from pcompress_spark.pipeline import DedupPipeline
+    from pcompress_spark.session import get_spark
+
+    spark = get_spark("multibatch", master=f"local[{cpus}]")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    path = f"/tmp/mb_input_{docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen_pages_spark(spark, docs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    pages = spark.read.parquet(path)
+    bucket = F.pmod(F.xxhash64("url"), F.lit(batches))
+
+    idx_dir = "/tmp/mb_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    idx = IncrementalDedupIndex(spark, PipelineConfig(), idx_dir)
+
+    walls = []
+    for b in range(batches):
+        part = pages.filter(bucket == b).localCheckpoint()
+        n = part.count()
+        t0 = time.time()
+        if b == 0:
+            idx.bootstrap(part)
+        else:
+            idx.add_batch(part)
+        walls.append({"batch": b, "docs": n, "wall_s": round(time.time() - t0, 1)})
+        print(json.dumps(walls[-1]), flush=True)
+        if b == batches // 2:
+            t0 = time.time()
+            folded = idx.compact()
+            print(json.dumps({"compact_after_batch": b, "folded": folded,
+                              "wall_s": round(time.time() - t0, 1)}), flush=True)
+
+    incr = {r["doc_id"]: r["cluster_id"]
+            for r in idx.assignments().collect()}
+
+    ckpt = "/tmp/mb_full_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.time()
+    full_df = DedupPipeline(
+        spark, PipelineConfig(), checkpoint_dir=ckpt, resume=False
+    ).run(pages)
+    full = {r["doc_id"]: r["cluster_id"] for r in full_df.collect()}
+    t_full = round(time.time() - t0, 1)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    diff = {d: (c, full.get(d)) for d, c in incr.items() if full.get(d) != c}
+    result = {
+        "docs": docs,
+        "batches": walls,
+        "incremental_total_s": round(sum(w["wall_s"] for w in walls), 1),
+        "monolithic_s": t_full,
+        "parity": not diff and len(incr) == len(full),
+        "mismatches": len(diff),
+        "clusters": len(set(full.values())),
+    }
+    line = json.dumps(result)
+    print(line)
+    with open(os.path.join(REPO, "BENCH_MULTIBATCH.json"), "w") as fh:
+        fh.write(line + "\n")
+    if diff or len(incr) != len(full):
+        print(f"PARITY FAIL: {len(diff)} mismatches, "
+              f"{len(incr)} vs {len(full)} rows", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
