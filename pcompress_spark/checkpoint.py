@@ -55,6 +55,9 @@ class _HadoopFs:
     def mkdirs(self, uri: str) -> None:
         self._fs.mkdirs(self._jPath(uri))
 
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self._fs.rename(self._jPath(src), self._jPath(dst)))
+
     def size(self, uri: str) -> int:
         return int(self._fs.getContentSummary(self._jPath(uri)).getLength())
 

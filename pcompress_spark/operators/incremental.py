@@ -46,6 +46,18 @@ Batch algorithm (`add_batch`):
 Determinism: doc_id = xxhash64(url) and all sketch hashes are seeded
 constants, so a batch classifies identically regardless of when or in how
 many pieces it arrives (tests/test_incremental.py pins full-run parity).
+
+Parity caveat (shared with any incremental design): the bucket cap and
+per-doc degree cap are evaluated against the state VISIBLE at each
+batch, while a monolithic run evaluates them against the whole corpus at
+once. When a cap binds differently across those two views (a bucket that
+crossed max_bucket_docs only after later batches, an old doc whose
+candidate degree exceeds the cap only in the monolithic pair set), the
+kept-pair sets — and, if the dropped pair was cluster-bridging, the
+labels — can diverge. Exact-Jaccard verification bounds the effect to
+genuinely-similar pairs in cap-saturated (boilerplate-dense)
+neighborhoods; the golden-corpus and 10-batch long-run parity checks
+measure zero divergence at default caps.
 """
 
 from __future__ import annotations
@@ -94,9 +106,18 @@ class IncrementalDedupIndex:
         except AnalysisException:
             return None
 
-    def _append_keys(self, reps: DataFrame) -> None:
+    def _fs(self):
+        from pcompress_spark.checkpoint import _HadoopFs
+
+        return _HadoopFs(self.spark, self.index_dir)
+
+    def _append_keys(self, keyed_rows: DataFrame) -> None:
+        """Append (doc_id, ch, key) rows shard-partitioned. Callers pass
+        an ALREADY-COMPUTED keyed frame (the probe builds one anyway) —
+        recomputing here would run the winnow-anchor UDF a second time
+        over every batch text."""
         (
-            fused.fused_keyed_rows(reps, self.cfg)
+            keyed_rows.select("doc_id", "ch", "key")
             .withColumn("shard", F.pmod(F.col("key"), F.lit(N_SHARDS)).cast("int"))
             .write.mode("append")
             .partitionBy("shard")
@@ -105,9 +126,18 @@ class IncrementalDedupIndex:
 
     # ---------------------------------------------------------- bootstrap
     def bootstrap(self, pages: DataFrame) -> DataFrame:
-        """Initial full pipeline run; persists sigs/keys/assignments."""
+        """Initial full pipeline run; persists sigs/keys/assignments.
+
+        Any pre-existing index state under index_dir is CLEARED first:
+        keys/ appends and a surviving merges/ from an earlier life of the
+        directory would otherwise double every bucket count and replay
+        stale merges onto the fresh labels (cluster ids are deterministic
+        hashes, so a stale map still matches)."""
         from pcompress_spark.pipeline import DedupPipeline
 
+        fs = self._fs()
+        for name in ("sigs", "keys", "assignments", "merges"):
+            fs.delete(self._p(name))
         pipe = DedupPipeline(
             self.spark,
             self.cfg,
@@ -115,13 +145,14 @@ class IncrementalDedupIndex:
             resume=False,
         )
         assignments = pipe.run(pages)
-        self._write_assignments(assignments, mode="overwrite")
         # run() just materialized the sigs stage — read it back rather
         # than recomputing the signature UDF pass
         sigs = pipe.ckpt.load("sigs")
         reps = exact.representatives(sigs, exact.text_groups(sigs))
         reps.write.mode("overwrite").parquet(self._p("sigs"))
-        self._append_keys(reps)
+        self._append_keys(fused.fused_keyed_rows(reps, self.cfg))
+        # assignments commit LAST (same rationale as add_batch)
+        self._write_assignments(assignments, mode="overwrite")
         return self.assignments()
 
     def _write_assignments(self, df: DataFrame, mode: str) -> None:
@@ -140,23 +171,20 @@ class IncrementalDedupIndex:
         )
 
     # -------------------------------------------------------- assignments
-    def assignments(self) -> DataFrame:
-        """(doc_id, cluster_id) for every ingested doc, merge closure
-        applied — equal to what a full run over everything would label."""
-        a = self._read("assignments")
-        if a is None:
-            return self.spark.createDataFrame([], _ASSIGN_SCHEMA)
-        a = a.select("doc_id", "cluster_id")  # drop the shard column
+    def _merge_closure(self) -> DataFrame | None:
+        """Path-compressed merge map as a broadcastable (old_cluster,
+        new_cluster) frame, or None when there are no merges.
+
+        Merges are metadata-scale (bounded by clusters bridged per batch,
+        not by rows): close the chains driver-side and apply as one
+        broadcast map — an iterative join loop would run a Spark job per
+        chain hop for a table of a few hundred rows."""
         m = self._read("merges")
         if m is None:
-            return a
-        # merges are metadata-scale (bounded by clusters bridged per
-        # batch, not by rows): close the chains driver-side and apply as
-        # one broadcast map — an iterative join loop would run a Spark
-        # job per chain hop for a table of a few hundred rows.
+            return None
         chain = {r["old_cluster"]: r["new_cluster"] for r in m.collect()}
         if not chain:
-            return a
+            return None
 
         def final(c: int) -> int:
             seen = set()
@@ -166,12 +194,55 @@ class IncrementalDedupIndex:
             return c
 
         closed = [(k, final(k)) for k in chain]
-        mm = F.broadcast(self.spark.createDataFrame(closed, _MERGE_SCHEMA))
+        return F.broadcast(self.spark.createDataFrame(closed, _MERGE_SCHEMA))
+
+    @staticmethod
+    def _apply_closure(a: DataFrame, mm: DataFrame | None) -> DataFrame:
+        if mm is None:
+            return a.select("doc_id", "cluster_id")
         return (
             a.join(mm, a["cluster_id"] == mm["old_cluster"], "left")
             .withColumn("cluster_id", F.coalesce("new_cluster", "cluster_id"))
             .select("doc_id", "cluster_id")
         )
+
+    def assignments(self) -> DataFrame:
+        """(doc_id, cluster_id) for every ingested doc, merge closure
+        applied — equal to what a full run over everything would label."""
+        a = self._read("assignments")
+        if a is None:
+            return self.spark.createDataFrame([], _ASSIGN_SCHEMA)
+        return self._apply_closure(
+            a.select("doc_id", "cluster_id"), self._merge_closure()
+        )
+
+    def _resolved_for(
+        self, ids: DataFrame, mm: DataFrame | None
+    ) -> DataFrame:
+        """Merge-resolved (doc_id, cluster_id) for the given doc_ids ONLY,
+        reading just the assignments shard partitions those ids hash into
+        (partition filter pushed to the scan) — batch operations never
+        scan the full ingest history (the merge_batch pruning pattern,
+        streaming/ingest.py)."""
+        a = self._read("assignments")
+        if a is None:
+            return self.spark.createDataFrame([], _ASSIGN_SCHEMA)
+        shards = [
+            r["s"]
+            for r in ids.select(
+                F.pmod(F.xxhash64("doc_id"), F.lit(N_SHARDS))
+                .cast("int")
+                .alias("s")
+            )
+            .distinct()
+            .collect()
+        ]
+        a = (
+            a.filter(F.col("shard").isin(shards))
+            .select("doc_id", "cluster_id")
+            .join(ids.select("doc_id").distinct(), "doc_id", "left_semi")
+        )
+        return self._apply_closure(a, mm)
 
     def compact(self) -> int:
         """Fold the merge closure into the assignments table and clear
@@ -189,16 +260,36 @@ class IncrementalDedupIndex:
         if m is None:
             return 0
         n = m.count()
-        resolved = self.assignments().localCheckpoint(eager=True)
-        self._write_assignments(resolved, mode="overwrite")
-        from pcompress_spark.checkpoint import _HadoopFs
-
-        _HadoopFs(self.spark, self.index_dir).delete(self._p("merges"))
+        # durable staging write + rename swap: an in-place overwrite
+        # deletes the old files before the new ones commit, so an
+        # executor/driver loss mid-write would destroy the only copy of
+        # the ingest history (localCheckpoint blocks are not
+        # recomputable). The rename pair is metadata-only on HDFS/local;
+        # on S3-class stores the table format's snapshot commit replaces
+        # this whole dance.
+        fs = self._fs()
+        fs.delete(self._p("_assignments_staged"))
+        (
+            self.assignments()
+            .withColumn(
+                "shard", F.pmod(F.xxhash64("doc_id"), F.lit(N_SHARDS)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(self._p("_assignments_staged"))
+        )
+        fs.delete(self._p("assignments"))
+        fs.rename(self._p("_assignments_staged"), self._p("assignments"))
+        fs.delete(self._p("merges"))
         return n
 
     # ------------------------------------------------------ bipartite probe
     def _bipartite_candidates(
-        self, fresh: DataFrame, old_keys: DataFrame | None, cfg: PipelineConfig
+        self,
+        bkeys: DataFrame,
+        fresh: DataFrame,
+        old_keys: DataFrame | None,
+        cfg: PipelineConfig,
     ) -> DataFrame:
         """candidates(id_a, id_b, channels, mh_overlap, is_star) for every
         pair with >= 1 fresh endpoint — the incremental analog of
@@ -222,9 +313,6 @@ class IncrementalDedupIndex:
         """
         from pcompress_spark.operators.fused import CH_MINHASH, CH_SIMHASH, CH_WINNOW
 
-        bkeys = tracked_persist(
-            fused.fused_keyed_rows(fresh, cfg).select("doc_id", "ch", "key")
-        )
         if old_keys is not None:
             probe = bkeys.select("ch", "key").distinct()
             matched_old = old_keys.join(probe, ["ch", "key"], "left_semi").select(
@@ -420,7 +508,7 @@ class IncrementalDedupIndex:
             # full pipeline every fan-out frame sits on a parquet-scan
             # checkpoint, so its many downstream plan references are
             # leaves. Here the whole batch is one lazy tree, and frames
-            # like `active` are referenced 5+ times by the fused/verify
+            # like `fresh` are referenced 5+ times by the probe/verify
             # machinery — each reference duplicates the entire upstream
             # subtree in the logical plan and Catalyst analysis goes
             # exponential (measured: a 2-doc batch spent 10+ min inside
@@ -429,13 +517,26 @@ class IncrementalDedupIndex:
             # the in-memory analog of the pipeline's durable barriers.
             old_sigs = self._read("sigs")
             old_keys = self._read("keys")
-            resolved = tracked_persist(self.assignments())
+            mm = self._merge_closure()
 
-            sigs = (
-                exact.build_sigs(pages, cfg)
-                .join(resolved.select("doc_id"), "doc_id", "left_anti")
+            # in-batch url dedup (deterministic: lowest text_sha wins) —
+            # a landing file can carry the same url twice and one doc_id
+            # must never yield two sig rows
+            from pyspark.sql import Window
+
+            raw = exact.build_sigs(pages, cfg)
+            w = Window.partitionBy("doc_id").orderBy("text_sha")
+            raw = (
+                raw.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
                 .localCheckpoint(eager=True)
             )
+            # redelivery guard: shard-pruned lookup of this batch's ids
+            known = self._resolved_for(raw.select("doc_id"), mm)
+            sigs = raw.join(
+                known.select("doc_id"), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
             if sigs.isEmpty():  # fully re-delivered batch: nothing to do
                 return sigs.select("doc_id", F.lit(0).cast("long").alias("cluster_id"))
             n_batch = sigs.count()
@@ -446,19 +547,36 @@ class IncrementalDedupIndex:
             groups = exact.text_groups(sigs)
             breps = tracked_persist(exact.representatives(sigs, groups))
 
-            # ---- tier 1: identity vs corpus (sha join against delegates)
+            # ---- tier 1: identity vs corpus (sha join against delegates).
+            # A SELF-match (old delegate id == this doc id) means a prior
+            # delivery crashed after the sigs/keys appends but before the
+            # assignments commit: the doc's index state exists but it was
+            # never classified. Such docs re-enter the fresh/probe path
+            # (their keys are probed from the OLD side and their sigs are
+            # NOT re-appended), which makes the append sequence
+            # crash-recoverable rather than merely idempotent.
             if old_sigs is not None:
                 old_ident = old_sigs.select(
                     "text_sha", F.col("doc_id").alias("old_id")
                 )
-                ident = tracked_persist(
-                    breps.select("doc_id", "text_sha")
-                    .join(old_ident, "text_sha")
-                    .join(
-                        resolved.withColumnRenamed("doc_id", "old_id"),
-                        "old_id",
+                matched = tracked_persist(
+                    breps.select("doc_id", "text_sha").join(
+                        old_ident, "text_sha"
                     )
-                    .select(
+                )
+                recovery_ids = (
+                    matched.filter(F.col("old_id") == F.col("doc_id"))
+                    .select("doc_id")
+                    .localCheckpoint(eager=True)
+                )
+                true_matched = matched.filter(
+                    F.col("old_id") != F.col("doc_id")
+                )
+                old_res = self._resolved_for(
+                    true_matched.select(F.col("old_id").alias("doc_id")), mm
+                ).withColumnRenamed("doc_id", "old_id")
+                ident = tracked_persist(
+                    true_matched.join(old_res, "old_id").select(
                         "doc_id", F.col("cluster_id").alias("old_cluster")
                     )
                 )
@@ -467,6 +585,7 @@ class IncrementalDedupIndex:
                 ident = spark.createDataFrame(
                     [], "doc_id long, old_cluster long"
                 )
+                recovery_ids = spark.createDataFrame([], "doc_id long")
                 fresh = breps
             fresh = fresh.localCheckpoint(eager=True)
 
@@ -478,7 +597,12 @@ class IncrementalDedupIndex:
             # full fused self-join over fresh ∪ touched and measured
             # barely faster than rerunning the corpus: on a
             # boilerplate-rich 100k corpus a 10k batch touches ~everything)
-            cands = self._bipartite_candidates(fresh, old_keys, cfg)
+            bkeys = tracked_persist(
+                fused.fused_keyed_rows(fresh, cfg).select(
+                    "doc_id", "ch", "key"
+                )
+            )
+            cands = self._bipartite_candidates(bkeys, fresh, old_keys, cfg)
             # reps rows (with text) are pulled ONLY for candidate
             # endpoints — prefilter (r==1 band-count mode) and the degree
             # cap need no row data; for r>1 prefilter recomputes overlap
@@ -513,8 +637,19 @@ class IncrementalDedupIndex:
             )
 
             # ---- component labels over the batch-touched subgraph, old
-            # endpoints relabeled to their resolved cluster ids
-            old_map = resolved.withColumnRenamed("doc_id", "_oid")
+            # endpoints relabeled to their resolved cluster ids (pruned
+            # lookup: only the fuzzy endpoints' shards are read)
+            fuzzy = fuzzy.localCheckpoint(eager=True)
+            eids = (
+                fuzzy.select(F.col("src").alias("doc_id"))
+                .unionByName(fuzzy.select(F.col("dst").alias("doc_id")))
+                .distinct()
+            )
+            old_map = tracked_persist(
+                self._resolved_for(eids, mm).withColumnRenamed(
+                    "doc_id", "_oid"
+                )
+            )
 
             def _to_cluster(edges: DataFrame, col: str) -> DataFrame:
                 return (
@@ -537,10 +672,15 @@ class IncrementalDedupIndex:
             ).localCheckpoint(eager=True)  # second barrier: CC iterates
             labels = tracked_persist(connected_components(edges))
 
-            # merges: an old-cluster node whose component min undercuts it
-            old_clusters = resolved.select(
-                F.col("cluster_id").alias("doc_id")
-            ).distinct()
+            # merges: an old-cluster node whose component min undercuts
+            # it. Only clusters of TOUCHED old docs (fuzzy endpoints or
+            # identity targets) can appear as CC nodes, so the candidate
+            # set needs no full-history scan.
+            old_clusters = (
+                old_map.select(F.col("cluster_id").alias("doc_id"))
+                .unionByName(ident.select(F.col("old_cluster").alias("doc_id")))
+                .distinct()
+            )
             merges = (
                 labels.join(old_clusters, "doc_id", "left_semi")
                 .filter(F.col("cluster_id") != F.col("doc_id"))
@@ -559,10 +699,21 @@ class IncrementalDedupIndex:
             batch_assign = tracked_persist(batch_assign)
             batch_assign.count()
 
-            # ---- append index state (fresh delegates only) + assignments
-            self._write_assignments(batch_assign, mode="append")
+            # ---- append index state. ORDER IS THE CRASH CONTRACT:
+            # merges/sigs/keys first, the assignments append LAST as the
+            # commit record. A crash before the assignments append leaves
+            # docs whose index state exists but who were never assigned —
+            # exactly what the identity tier's SELF-match recovery path
+            # re-classifies on redelivery without re-appending. A crash
+            # after it is a completed batch (redelivery anti-joins to
+            # empty). Recovery-path docs are excluded from the appends:
+            # their sigs/keys are already in the index.
             if not merges.isEmpty():
                 merges.write.mode("append").parquet(self._p("merges"))
-            fresh.write.mode("append").parquet(self._p("sigs"))
-            self._append_keys(fresh)
+            to_append = fresh.join(recovery_ids, "doc_id", "left_anti")
+            to_append.write.mode("append").parquet(self._p("sigs"))
+            self._append_keys(
+                bkeys.join(recovery_ids, "doc_id", "left_anti")
+            )
+            self._write_assignments(batch_assign, mode="append")
             return batch_assign

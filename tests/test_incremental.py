@@ -150,3 +150,79 @@ def test_compact_folds_merges(spark, tmp_path):
         f"qq{i} rr{i}" for i in range(14))
     idx.add_batch(pages([("u://d", d)]))
     assert len(_as_map(idx.assignments())) == 4
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, "en") for u, t in rows], "url string, text string, lang string"
+    )
+
+
+def test_crash_recovery_after_partial_append(spark, tmp_path):
+    """Crash contract: if a delivery died after the sigs/keys appends but
+    BEFORE the assignments commit, redelivering the batch re-classifies
+    those docs through the self-match recovery path — correct labels, and
+    no duplicate rows ever land in sigs/ or keys/."""
+    from pcompress_spark.operators import exact, fused
+
+    base = ("a long riverbank paragraph that anchors similarity for the "
+            "recovery scenario with enough shingles to signature cleanly "
+            "and a stable tail of distinctive tokens ")
+    a = base + " ".join(f"alpha{i}" for i in range(14))
+    b = base + " ".join(f"alpha{i}" for i in range(7)) + " " + \
+        " ".join(f"beta{i}" for i in range(7))          # near-dup of a
+
+    idx = IncrementalDedupIndex(spark, PipelineConfig(), str(tmp_path))
+    idx.bootstrap(_pages(spark, [("u://a", a)]))
+
+    # simulate the crashed delivery of batch {b}: index state appended,
+    # assignments never committed
+    bs = exact.build_sigs(_pages(spark, [("u://b", b)]), idx.cfg)
+    brep = exact.representatives(bs, exact.text_groups(bs))
+    brep.write.mode("append").parquet(f"{tmp_path}/sigs")
+    idx._append_keys(fused.fused_keyed_rows(brep, idx.cfg))
+    sigs_n = spark.read.parquet(f"{tmp_path}/sigs").count()
+    keys_n = spark.read.parquet(f"{tmp_path}/keys").count()
+
+    idx.add_batch(_pages(spark, [("u://b", b)]))        # redelivery
+    assert spark.read.parquet(f"{tmp_path}/sigs").count() == sigs_n
+    assert spark.read.parquet(f"{tmp_path}/keys").count() == keys_n
+    res = _as_map(idx.assignments())
+    assert len(res) == 2
+    assert len(set(res.values())) == 1, f"near-dups must cluster: {res}"
+    assert set(res.values()) == {min(res.keys())}
+
+
+def test_duplicate_url_within_batch(spark, tmp_path):
+    """A landing file carrying the same url twice yields exactly one
+    assignment row and one delegate (deterministic winner by text_sha)."""
+    t1 = ("distinct text payload one with sufficient length for shingles "
+          "and a tail of unique tokens aa bb cc dd ee ff gg hh ii jj")
+    t2 = ("distinct text payload two with sufficient length for shingles "
+          "and a tail of unique tokens kk ll mm nn oo pp qq rr ss tt")
+    idx = IncrementalDedupIndex(spark, PipelineConfig(), str(tmp_path))
+    idx.bootstrap(_pages(spark, [("u://seed", t1 + " seed tail")]))
+    idx.add_batch(_pages(spark, [("u://dup", t1), ("u://dup", t2)]))
+    a = spark.read.parquet(f"{tmp_path}/assignments")
+    dup_id = _pages(spark, [("u://dup", t1)]).select(
+        F.xxhash64("url").alias("d")).collect()[0]["d"]
+    assert a.filter(F.col("doc_id") == dup_id).count() == 1
+    assert idx.assignments().count() == 2
+
+
+def test_rebootstrap_clears_previous_state(spark, tmp_path):
+    """bootstrap() over a dir that already holds an index must not append
+    keys twice or replay stale merges."""
+    t = ("a corpus document with plenty of text to shingle and signature "
+         "having its own distinctive vocabulary zz yy xx ww vv uu")
+    idx = IncrementalDedupIndex(spark, PipelineConfig(), str(tmp_path))
+    idx.bootstrap(_pages(spark, [("u://x", t)]))
+    keys_once = spark.read.parquet(f"{tmp_path}/keys").count()
+    idx.bootstrap(_pages(spark, [("u://x", t)]))        # same dir, again
+    assert spark.read.parquet(f"{tmp_path}/keys").count() == keys_once
+    assert _as_map(idx.assignments()) == {
+        _pages(spark, [("u://x", t)]).select(
+            F.xxhash64("url").alias("d")).collect()[0]["d"]:
+        _pages(spark, [("u://x", t)]).select(
+            F.xxhash64("url").alias("d")).collect()[0]["d"]
+    }
