@@ -208,12 +208,31 @@ def curation_gate_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     this ahead of signatures when cfg.curation_gate is on — curating
     before sketching is the order a training-data pipeline wants (no
     sketch budget spent on rejected docs), and drops are logged by
-    reason, never silent (the repo-wide cap/drop discipline)."""
+    reason, never silent (the repo-wide cap/drop discipline).
+
+    Duplicate-url rows are dropped FIRST (deterministically: lowest
+    sha256(text) wins — the add_batch row_number pattern): doc_id =
+    xxhash64(url) collapses same-url rows to one id, so letting both
+    reach repetition_stats would merge two texts' token counts into one
+    verdict that then fans out to both rows. The dropped copies are
+    logged under reason `dup_url`."""
+    from pyspark.sql import Window
+
     d = pages.withColumn("doc_id", F.xxhash64("url"))
+    w = Window.partitionBy("doc_id").orderBy(F.sha2(F.col("text"), 256))
+    d = d.withColumn("_rn", F.row_number().over(w))
+    dup_log = (
+        d.filter(F.col("_rn") > 1)
+        .groupBy(F.lit("dup_url").alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = d.filter(F.col("_rn") == 1).drop("_rn")
     g = quality_gate(d)
     j = d.join(g.select("doc_id", "keep", "reason"), "doc_id")
     kept = j.filter(F.col("keep") == 1).drop("doc_id", "keep", "reason")
-    log = g.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    log = g.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).unionByName(
+        dup_log
+    )
     return kept, log
 
 

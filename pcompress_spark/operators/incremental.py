@@ -252,10 +252,10 @@ class IncrementalDedupIndex:
         unchanged: before compaction readers resolve (assignments ∘
         merges), after they read assignments directly.
 
-        The resolved frame is eagerly localCheckpoint-ed BEFORE the
-        overwrite so the rewrite never reads the files it is replacing;
-        on the production table format this whole op is one atomic
-        snapshot commit."""
+        The resolved frame is written to a STAGING directory first, then
+        swapped in by rename, so the rewrite never reads the files it is
+        replacing; on the production table format this whole op is one
+        atomic snapshot commit."""
         m = self._read("merges")
         if m is None:
             return 0
@@ -263,10 +263,9 @@ class IncrementalDedupIndex:
         # durable staging write + rename swap: an in-place overwrite
         # deletes the old files before the new ones commit, so an
         # executor/driver loss mid-write would destroy the only copy of
-        # the ingest history (localCheckpoint blocks are not
-        # recomputable). The rename pair is metadata-only on HDFS/local;
-        # on S3-class stores the table format's snapshot commit replaces
-        # this whole dance.
+        # the ingest history. The rename pair is metadata-only on
+        # HDFS/local; on S3-class stores the table format's snapshot
+        # commit replaces this whole dance.
         fs = self._fs()
         fs.delete(self._p("_assignments_staged"))
         (
@@ -279,7 +278,21 @@ class IncrementalDedupIndex:
             .parquet(self._p("_assignments_staged"))
         )
         fs.delete(self._p("assignments"))
-        fs.rename(self._p("_assignments_staged"), self._p("assignments"))
+        if not fs.rename(self._p("_assignments_staged"), self._p("assignments")):
+            # the staged copy is the ONLY resolved one now (assignments/
+            # was just deleted) — put it back in place of the deleted
+            # table and KEEP merges/ so readers still resolve correctly,
+            # then fail loudly rather than continuing to delete the merge
+            # log (which would leave an index with no assignments at all).
+            restored = fs.rename(
+                self._p("_assignments_staged"), self._p("assignments")
+            )
+            raise IOError(
+                "compact(): rename of staged assignments failed"
+                + ("" if restored else " AND restore-retry failed — "
+                   f"resolved table left at {self._p('_assignments_staged')}")
+                + "; merges/ left intact so reads remain correct"
+            )
         fs.delete(self._p("merges"))
         return n
 
@@ -317,6 +330,14 @@ class IncrementalDedupIndex:
             probe = bkeys.select("ch", "key").distinct()
             matched_old = old_keys.join(probe, ["ch", "key"], "left_semi").select(
                 "doc_id", "ch", "key"
+            )
+            # crash-recovery docs are in BOTH sides (they stay in `fresh`,
+            # so bkeys recomputes their keys, AND their stored keys sit in
+            # old_keys) — drop the stored copy or per-bucket _n counts
+            # them twice, which can flip an in-cap bucket over
+            # max_bucket_docs and alter pair generation vs a clean run
+            matched_old = matched_old.join(
+                bkeys.select("doc_id").distinct(), "doc_id", "left_anti"
             )
             rows = bkeys.unionByName(matched_old)
         else:

@@ -36,8 +36,7 @@ import os
 import sys
 import time
 
-_BALLOON_UNBIND = "/sys/bus/virtio/drivers/virtio_balloon/unbind"
-_BALLOON_DEV = "/sys/bus/virtio/devices/virtio0"
+_BALLOON_DRIVER_DIR = "/sys/bus/virtio/drivers/virtio_balloon"
 
 # pages already faulted by this process's probes/warmups stay warm; track
 # so repeated ensure_warm() calls in one process are cheap
@@ -59,23 +58,44 @@ def cold_fault_rate_gbps(sample_mb: int = 256) -> float:
     return (n / 1e9) / dt
 
 
-def _try_unbind_balloon() -> bool:
+def _balloon_devices() -> list[str]:
+    """Device names currently bound to the virtio_balloon driver — read
+    from the driver's own sysfs dir rather than assuming virtio0 (the
+    balloon can enumerate as virtio1+ when net/blk devices come first)."""
+    try:
+        return sorted(
+            name
+            for name in os.listdir(_BALLOON_DRIVER_DIR)
+            if name.startswith("virtio")
+        )
+    except OSError:
+        return []
+
+
+def _try_unbind_balloon(log=None) -> bool:
     """Stop virtio-balloon free-page reporting (best-effort, needs root).
 
     Without this, pages freed when a bench subprocess exits are reported
     back to the host and the next leg re-faults them through the slow
-    path — the warmup would only help the first consumer."""
-    try:
-        drv = os.path.join(_BALLOON_DEV, "driver")
-        if not os.path.islink(drv):
-            return True  # not bound (already unbound or no balloon)
-        if not os.path.basename(os.readlink(drv)).startswith("virtio_balloon"):
-            return True
-        with open(_BALLOON_UNBIND, "w") as fh:
-            fh.write("virtio0")
-        return True
-    except OSError:
-        return False
+    path — the warmup would only help the first consumer. Returns True
+    only when no balloon device remains bound AFTERWARD (so the report
+    never claims success while reporting stays active). This is a
+    persistent machine-wide change; callers must gate it on a measured
+    pathology (ensure_warm does) and log it prominently."""
+    devs = _balloon_devices()
+    if not devs:
+        return True  # nothing bound (already unbound or no balloon)
+    for dev in devs:
+        try:
+            with open(os.path.join(_BALLOON_DRIVER_DIR, "unbind"), "w") as fh:
+                fh.write(dev)
+            if log:
+                log(f"[warmup] UNBOUND virtio-balloon device {dev} "
+                    "(persistent: host-side free-page reporting disabled "
+                    "for this VM; set PCOMPRESS_WARM_UNBIND=0 to forbid)")
+        except OSError:
+            pass
+    return not _balloon_devices()
 
 
 def _available_gb() -> float:
@@ -108,14 +128,19 @@ def ensure_warm(
     log = log or (lambda msg: print(msg, file=sys.stderr, flush=True))
     if budget_s is None:
         budget_s = float(os.environ.get("PCOMPRESS_WARM_BUDGET_S", "900"))
-    # unbind FIRST, unconditionally: free-page reporting keeps handing
-    # pages back to the host DURING a run (the JVM frees between
-    # queries), so even a warm-probing machine re-cools itself mid-bench
-    # while the driver is bound. Idempotent, no-op without the device.
-    rep = {"balloon_unbound": _try_unbind_balloon(), "warmed_gb": 0}
+    rep = {"balloon_unbound": False, "warmed_gb": 0}
     rate = cold_fault_rate_gbps()
     rep["cold_fault_gbps_before"] = round(rate, 2)
-    if rate >= min_rate_gbps or _warmed:
+    # the balloon unbind is a persistent machine-wide change (the host
+    # loses memory reclaim for this VM), so it is PROBE-GATED: only taken
+    # when the cold-fault probe shows the pathology it fixes, and only
+    # unless PCOMPRESS_WARM_UNBIND=0 forbids it (=1 forces it, e.g. for a
+    # machine known to re-cool mid-bench despite a warm first probe).
+    unbind_env = os.environ.get("PCOMPRESS_WARM_UNBIND", "")
+    degraded = rate < min_rate_gbps
+    if unbind_env != "0" and (degraded or unbind_env == "1"):
+        rep["balloon_unbound"] = _try_unbind_balloon(log)
+    if not degraded or _warmed:
         return rep
     target = max(0.0, _available_gb() - reserve_gb)
     log(

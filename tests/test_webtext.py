@@ -171,6 +171,39 @@ def test_repetition_cjk_codepoint_tokens(spark):
     assert r2["top_word_cnt"] == 2
 
 
+def test_curation_gate_dedups_same_url(spark):
+    """Two rows with the same url collapse to one doc_id = xxhash64(url);
+    the gate must verdict exactly ONE of them (deterministically: lowest
+    sha256(text)) instead of merging both texts' token counts into a
+    combined verdict that fans back out to both rows (r3 ADVICE). The
+    dropped copy lands in the log under `dup_url`."""
+    good = " ".join(f"tok{i} word{i * 7 % 31}" for i in range(30))
+    # each copy alone passes the gate; merged counts would make n_words=60
+    # with every word duplicated once -> dup fraction 0.5 (still passes)
+    # BUT two identical copies of a repetitive-if-merged doc is the sharp
+    # case: each alone is 'ok', merged would be 'repetitive'
+    half = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        ("u://dup", half, "en"),
+        ("u://dup", half + " tailword", "en"),  # same url, different text
+        ("u://solo", good, "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string")
+    kept, log = WT.curation_gate_pages(pages)
+    kept_rows = kept.collect()
+    # exactly one row survives per url
+    assert sorted(r["url"] for r in kept_rows) == ["u://dup", "u://solo"]
+    # deterministic pick: the kept u://dup text is the min-sha one
+    import hashlib
+
+    sha = {t: hashlib.sha256(t.encode()).hexdigest()
+           for t in (half, half + " tailword")}
+    want = min(sha, key=lambda t: sha[t])
+    assert next(r["text"] for r in kept_rows if r["url"] == "u://dup") == want
+    logd = {r["reason"]: r["n"] for r in log.collect()}
+    assert logd.get("dup_url") == 1 and logd.get("ok") == 2
+
+
 def test_pipeline_curation_gate(spark, tmp_path):
     """cfg.curation_gate=True drops gated docs before signatures: they
     never reach assignments, and the drop log lands by reason under the
