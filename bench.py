@@ -20,7 +20,14 @@ local[$SPARK_GRAFT_CPUS] (default 32):
 Metric: total seconds over headline queries; `queries` has the breakdown;
 `extra.pages_docs_per_sec` is the flagship throughput (docs/sec).
 
-Usage: python bench.py [--pipeline-only] [--docs N] [--json-out PATH]
+Every query runs `--reps N` times (default 3): `queries` carries the
+MIN per query (the noise-robust statistic scaling_bench.py already uses),
+`spread` carries {min, med, max, reps} so the artifact is self-interpreting
+— single-shot numbers invited "regressed or noise?" questions every round
+(r3 verdict task #8).
+
+Usage: python bench.py [--pipeline-only] [--docs N] [--reps N]
+                       [--json-out PATH]
 """
 
 from __future__ import annotations
@@ -89,6 +96,10 @@ def main() -> None:
     json_out = None
     if "--json-out" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json-out") + 1]
+    reps = int(os.environ.get("PCOMPRESS_BENCH_REPS", "3"))
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    reps = max(1, reps)
 
     sf = _sf_of(sf_dir)
     if n_docs is None:
@@ -108,14 +119,29 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
 
     from pcompress_spark.cache import release_all
 
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        release_all()
+        """Run fn `reps` times; record min (headline) + min/med/max
+        (spread). Caches released between reps so each rep re-executes
+        the full plan, not a cached result."""
+        samples = []
+        out = None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            samples.append(round(time.time() - t0, 3))
+            release_all()
+        samples.sort()
+        timings[name] = samples[0]
+        spread[name] = {
+            "min": samples[0],
+            "med": samples[len(samples) // 2],
+            "max": samples[-1],
+            "reps": reps,
+        }
         return out
 
     if not pipeline_only:
@@ -138,10 +164,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline dedup+ann+relational suite, total seconds",
+        "metric": "headline dedup+ann+relational suite, total seconds "
+                  "(min over reps per query)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf,
         "extra": {
             "pages_docs": n_docs,
