@@ -69,7 +69,7 @@ from pcompress_spark.config import DEFAULT_CONFIG
 from pcompress_spark.functions import text as TX
 from pcompress_spark.functions.shingling import make_sig_udf
 from pcompress_spark.operators import lsh, simhash, substring
-from pcompress_spark.operators.components import connected_components
+from pcompress_spark.operators.components import cluster_labels
 
 W16 = 16          # char shingle width (== reference rolling window, SURVEY §7)
 TAU = 0.4         # DELTA_EXTRA verify threshold
@@ -328,7 +328,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = q_minhash_lsh_pairs(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    labels = connected_components(edges)
+    labels = cluster_labels(edges)
     return (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")

@@ -21,6 +21,36 @@ from pcompress_spark.config import PipelineConfig
 from pcompress_spark.functions.shingling import make_sig_udf_lang
 
 
+def base_ids(pages: DataFrame) -> DataFrame:
+    """pages -> (url, doc_id, text_sha, lang, text) — the codegen-only
+    identity columns, WITHOUT the sketch UDF. Split out so cheap
+    pre-passes (in-batch url dedup, redelivery anti-joins) can run before
+    any Arrow batch is paid for (operators/incremental.py classifies a
+    redelivered batch to zero rows without ever sketching it)."""
+    return (
+        pages.select("url", "text", "lang")
+        .withColumn("doc_id", F.xxhash64("url"))
+        .withColumn("text_sha", F.sha2("text", 256))
+    )
+
+
+def attach_sigs(base: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Attach (nshingles, minhash, simhash) to a base_ids-shaped frame —
+    the expensive vectorized sketch pass, applied to exactly the rows the
+    caller kept."""
+    sig_udf = make_sig_udf_lang(cfg)
+    return base.withColumn("_sig", sig_udf("text", "lang")).select(
+        "url",
+        "doc_id",
+        "text_sha",
+        "lang",
+        "text",
+        F.col("_sig.nshingles").alias("nshingles"),
+        F.col("_sig.minhash").alias("minhash"),
+        F.col("_sig.simhash").alias("simhash"),
+    )
+
+
 def build_sigs(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """pages -> sigs(url, doc_id, text_sha, lang, text, nshingles, minhash,
     simhash).
@@ -35,23 +65,7 @@ def build_sigs(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     needs text (winnow anchors, verification) reads it back from columnar
     storage with projection pushdown instead of re-scanning the source.
     """
-    sig_udf = make_sig_udf_lang(cfg)
-    return (
-        pages.select("url", "text", "lang")
-        .withColumn("doc_id", F.xxhash64("url"))
-        .withColumn("text_sha", F.sha2("text", 256))
-        .withColumn("_sig", sig_udf("text", "lang"))
-        .select(
-            "url",
-            "doc_id",
-            "text_sha",
-            "lang",
-            "text",
-            F.col("_sig.nshingles").alias("nshingles"),
-            F.col("_sig.minhash").alias("minhash"),
-            F.col("_sig.simhash").alias("simhash"),
-        )
-    )
+    return attach_sigs(base_ids(pages), cfg)
 
 
 def text_groups(sigs: DataFrame) -> DataFrame:

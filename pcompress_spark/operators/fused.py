@@ -18,15 +18,36 @@ semantics: the bucket join key is the composite (ch, key), so channels
 never mix inside a bucket, and per-channel caps/salting behave exactly as
 the per-channel joins did.
 
+Round 4 shrank the post-aggregation fan-in (the remaining 2->8-core
+efficiency sink, BENCH_SCALING r3: candidates stage 0.68-0.79 on the
+degraded-memory VM class):
+  - the per-pair groupBy carries TWO aggregation buffers (a count and a
+    bit_or'd channel bitmask) instead of five boolean max's;
+  - the hot-key correction joins broadcast the per-doc hot-key arrays
+    when they are small (the normal case — hot buckets are the
+    exception), so the junk-dominated pair stream is never shuffled for
+    them; a measured count gates the hint so a boilerplate-degenerate
+    corpus falls back to the shuffle join instead of OOMing the driver;
+  - the simhash hamming-confirm join runs ONLY over pairs some simhash
+    bucket actually proposed — band-noise pairs (the ~99% majority at
+    b=20/r=1) never reach it;
+  - `fused_prefiltered` additionally folds the signature prefilter
+    (operators/verify.py semantics, r==1 band-count mode) into the same
+    pass: junk pairs are dropped straight off the persisted count frame,
+    before ANY wide join, and the drop log is produced here so drops
+    stay non-silent.
+
 Reference analog: the reference likewise keeps ONE global index probed by
 every key kind (exact checksum, KMV sketch values, similarity hash —
-rabin/global/index.c:485-558) rather than one index per channel.
+rabin/global/index.c:485-558) rather than one index per channel, and
+probes the cheap key before any expensive verify (rabin_dedup.c:1132-1180).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pcompress_spark.cache import tracked_persist
 from pcompress_spark.config import PipelineConfig
 from pcompress_spark.operators import lsh, simhash, substring
 from pcompress_spark.operators.pairs import bucket_pairs
@@ -36,6 +57,20 @@ CH_SIMHASH = 1
 CH_WINNOW = 2
 
 CHANNEL_NAMES = {CH_MINHASH: "lsh", CH_SIMHASH: "simhash", CH_WINNOW: "winnow"}
+
+# channel bitmask aggregated per pair (bit_or): one long buffer replaces
+# four boolean max aggregations
+_FL_MH = 1
+_FL_SH = 2
+_FL_WN = 4
+_FL_STAR = 8  # minhash star-downgrade rows only (matches the old
+#               max((ch==MINHASH) & is_star) semantics)
+
+# per-doc hot-key arrays above this row count are joined by shuffle, not
+# broadcast: docs carry <= lsh_bands hot keys (~200 B/row), so 500k rows
+# ~= 100 MB — the edge of a comfortable broadcast on a 1000-executor
+# cluster. Only a boilerplate-degenerate corpus exceeds it.
+HOT_DOCS_BROADCAST_MAX = 500_000
 
 
 def fused_keyed_rows(reps: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -89,14 +124,45 @@ def fused_candidates(
     would UNDERCOUNT signature overlap for any pair sharing a hot bucket
     (r2 ADVICE). Correction: star rows are EXCLUDED from the count and
     every pair instead adds `|hot_keys(a) ∩ hot_keys(b)|` — the number of
-    over-cap band buckets both docs sit in (per-doc hot-key arrays, tiny
-    left joins that AQE broadcasts at bench scale and degrades to a
-    shuffle join only when the corpus is mostly boilerplate). Each band
-    where the pair co-occurs is counted exactly once — via its pair row
-    when the bucket was emitted, via the hot-key intersect when it was
-    star-downgraded — so `mh_overlap` IS the signature overlap for every
-    pair and the prefilter needs no star exemption.
+    over-cap band buckets both docs sit in. Each band where the pair
+    co-occurs is counted exactly once — via its pair row when the bucket
+    was emitted, via the hot-key intersect when it was star-downgraded —
+    so `mh_overlap` IS the signature overlap for every pair and the
+    prefilter needs no star exemption.
     """
+    out, hot, _ = _fused_impl(reps, cfg, min_matches=None)
+    return out, hot
+
+
+def fused_prefiltered(
+    reps: DataFrame, cfg: PipelineConfig, min_matches: int = 3
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """fused_candidates + the signature prefilter fused into one pass:
+    reps -> (kept, hot_log, prefilter_drop_log(doc_id, n_dropped)).
+
+    Output-equivalent to
+        verify.prefilter_candidates(fused_candidates(reps, cfg)[0], reps,
+                                    min_matches, overlap_from_bands=True)
+    (asserted by tests/test_fused.py) but drops band-noise pairs straight
+    off the narrow persisted count frame, BEFORE the hot-key / simhash /
+    prefilter joins ever see them: only pairs that could still pass —
+    proposed by a non-minhash channel, carrying >= min_matches band hits,
+    or hot-key-correctable (both endpoints in over-cap buckets) — continue
+    into the wide tail. Requires cfg.lsh_rows == 1 (band co-occurrence ==
+    signature overlap); r > 1 configs must verify overlap exactly via
+    verify.prefilter_candidates(overlap_from_bands=False)."""
+    if cfg.lsh_rows != 1:
+        raise ValueError(
+            "fused_prefiltered requires r == 1 banding; use "
+            "fused_candidates + prefilter_candidates(overlap_from_bands="
+            "False) for r > 1"
+        )
+    return _fused_impl(reps, cfg, min_matches=min_matches)
+
+
+def _fused_impl(
+    reps: DataFrame, cfg: PipelineConfig, min_matches: int | None
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     rows = fused_keyed_rows(reps, cfg)
     pairs, hot = bucket_pairs(
         rows,
@@ -108,11 +174,26 @@ def fused_candidates(
     )
     # rows was persisted inside bucket_pairs (same plan -> cache hit here)
     hot_mh = hot.filter(F.col("ch") == CH_MINHASH).select("key")
-    hot_docs = (
+    hot_docs = tracked_persist(
         rows.filter(F.col("ch") == CH_MINHASH)
         .join(hot_mh, "key", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("key").alias("_hk"))
+    )
+    # metadata-scale action (docs in over-cap buckets); gates the
+    # broadcast so a boilerplate-degenerate corpus degrades to a shuffle
+    # join instead of an oversized broadcast
+    n_hot = hot_docs.count()
+
+    flag = (
+        F.when(
+            F.col("ch") == CH_MINHASH,
+            F.when(F.col("is_star"), F.lit(_FL_MH | _FL_STAR)).otherwise(
+                F.lit(_FL_MH)
+            ),
+        )
+        .when(F.col("ch") == CH_SIMHASH, F.lit(_FL_SH))
+        .otherwise(F.lit(_FL_WN))
     )
     agg = pairs.groupBy("id_a", "id_b").agg(
         F.sum(
@@ -120,14 +201,13 @@ def fused_candidates(
         )
         .cast("int")
         .alias("_mh_cnt"),
-        F.max(F.col("ch") == CH_MINHASH).alias("_mh_any"),
-        F.max(F.col("ch") == CH_SIMHASH).alias("_sh_bucket"),
-        F.max(F.col("ch") == CH_WINNOW).alias("_wn"),
-        F.max((F.col("ch") == CH_MINHASH) & F.col("is_star")).alias("is_star"),
+        F.bit_or(flag).cast("int").alias("_fl"),
     )
     ha = hot_docs.select(F.col("doc_id").alias("id_a"), F.col("_hk").alias("_hk_a"))
     hb = hot_docs.select(F.col("doc_id").alias("id_b"), F.col("_hk").alias("_hk_b"))
-    agg = (
+    if n_hot <= HOT_DOCS_BROADCAST_MAX:
+        ha, hb = F.broadcast(ha), F.broadcast(hb)
+    corrected = tracked_persist(
         agg.join(ha, "id_a", "left")
         .join(hb, "id_b", "left")
         .withColumn(
@@ -140,30 +220,51 @@ def fused_candidates(
         )
         .drop("_hk_a", "_hk_b")
     )
+
+    def _has(bit: int):
+        return F.col("_fl").bitwiseAND(F.lit(bit)) != 0
+
+    dropped_early = None
+    surv = corrected
+    if min_matches is not None:
+        # a pair failing this was proposed ONLY by minhash bands (no sh/wn
+        # bit) with a final count below the gate — the prefilter drops it
+        # unconditionally, so drop it here, before any wide join
+        keep0 = (
+            _has(_FL_SH | _FL_WN) | (F.col("_mh_cnt") >= F.lit(min_matches))
+        )
+        dropped_early = corrected.filter(~keep0)
+        surv = corrected.filter(keep0)
+
+    # hamming confirm only where some simhash bucket proposed the pair —
+    # band-noise pairs never join the simhash table
     sims = reps.select("doc_id", "simhash")
     sa = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sim_a"))
     sb = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sim_b"))
-    scored = (
-        agg.join(sa, "id_a")
+    sh_rows = (
+        surv.filter(_has(_FL_SH))
+        .join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
             "_sh_ok",
-            F.col("_sh_bucket")
-            & (
-                F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
-                <= cfg.simhash_radius
-            ),
+            F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+            <= cfg.simhash_radius,
         )
+        .drop("_sim_a", "_sim_b")
     )
+    scored = sh_rows.unionByName(
+        surv.filter(~_has(_FL_SH)).withColumn("_sh_ok", F.lit(False))
+    )
+
     channels = F.array_compact(
         F.array(
-            F.when(F.col("_mh_any"), F.lit("minhash")),
+            F.when(_has(_FL_MH), F.lit("minhash")),
             F.when(F.col("_sh_ok"), F.lit("simhash")),
-            F.when(F.col("_wn"), F.lit("winnow")),
+            F.when(_has(_FL_WN), F.lit("winnow")),
         )
     )
     if cfg.lsh_rows == 1:
-        mh_overlap = F.when(F.col("_mh_any"), F.col("_mh_cnt"))
+        mh_overlap = F.when(_has(_FL_MH), F.col("_mh_cnt"))
     else:
         mh_overlap = F.lit(None)
     out = (
@@ -174,7 +275,26 @@ def fused_candidates(
             "id_b",
             "channels",
             mh_overlap.cast("int").alias("mh_overlap"),
-            "is_star",
+            _has(_FL_STAR).alias("is_star"),
         )
     )
-    return out, hot
+    if min_matches is None:
+        return out, hot, None
+
+    # residual prefilter (verify.prefilter_candidates semantics): a
+    # survivor whose simhash bucket failed the hamming ball can fall back
+    # to minhash-only with a sub-gate count. Pairs left with NO channel
+    # (hamming-failed, never minhash-proposed) are silently dropped
+    # exactly as fused_candidates always did.
+    keep = (
+        F.coalesce(F.col("mh_overlap"), F.lit(0)) >= F.lit(min_matches)
+    ) | (F.col("channels") != F.array(F.lit("minhash")))
+    kept = out.filter(keep)
+    dropped_ids = (
+        dropped_early.select("id_a", "id_b")
+        .unionByName(out.filter(~keep).select("id_a", "id_b"))
+        .select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return kept, hot, dropped_ids

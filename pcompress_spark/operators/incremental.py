@@ -24,6 +24,14 @@ writes the same tables as Iceberg, giving atomic batch commits):
                   and point lookups prune
     merges/       (old_cluster, new_cluster) — appended when a batch doc
                   bridges existing clusters; resolved at read time
+    links/        (doc_id, parent_id) — identity membership: every
+                  non-delegate doc points at the delegate whose text it
+                  equals (update_batch rebuilds exact edges from these
+                  when a delegate's content changes)
+    tombstones/   (tbl, doc_id, ver) — per-table row versions; a row is
+                  live iff its ver equals the doc's current version (see
+                  the versioned-reads section below). Only created once
+                  update_batch has run; plain ingest never pays for it
 
 Batch algorithm (`add_batch`):
  1. identity tier — batch texts whose sha already exists in `sigs` join
@@ -68,12 +76,18 @@ from pyspark.sql.utils import AnalysisException
 from pcompress_spark.cache import CacheScope, tracked_persist
 from pcompress_spark.config import DEFAULT_CONFIG, PipelineConfig
 from pcompress_spark.operators import exact, fused, verify
-from pcompress_spark.operators.components import connected_components
+from pcompress_spark.operators.components import cluster_labels
 
 N_SHARDS = 64
 
 _ASSIGN_SCHEMA = "doc_id long, cluster_id long"
 _MERGE_SCHEMA = "old_cluster long, new_cluster long"
+_TOMB_SCHEMA = "tbl int, doc_id long, ver int"
+_LINK_SCHEMA = "doc_id long, parent_id long"
+
+# tombstone table codes (tombstones are per (table, doc): an upsert kills
+# a doc's sig/key rows but not its identity children's link rows, etc.)
+_TBL = {"sigs": 0, "keys": 1, "assignments": 2, "links": 3}
 
 
 class IncrementalDedupIndex:
@@ -93,6 +107,21 @@ class IncrementalDedupIndex:
         self.spark = spark
         self.cfg = cfg
         self.index_dir = index_dir.rstrip("/")
+        # update_batch-window state (all None outside an update):
+        # _pending_vers: broadcast (doc_id, _pv) — uncommitted next
+        #   versions for the docs the update rewrites (_with_ver);
+        # _sigs_overlay/_keys_overlay: the post-update pre-classification
+        #   view of the corpus (changed delegates removed, promoted
+        #   delegates added) that the inner classification must probe;
+        # _assign_overlay: relabeled member assignments the inner
+        #   classification must resolve old endpoints against;
+        # _known_exclude: docs the redelivery guard must NOT skip (their
+        #   content changed — they are being reclassified).
+        self._pending_vers: DataFrame | None = None
+        self._sigs_overlay: DataFrame | None = None
+        self._keys_overlay: DataFrame | None = None
+        self._assign_overlay: DataFrame | None = None
+        self._known_exclude: DataFrame | None = None
 
     # ------------------------------------------------------------ storage
     def _p(self, name: str) -> str:
@@ -111,14 +140,133 @@ class IncrementalDedupIndex:
 
         return _HadoopFs(self.spark, self.index_dir)
 
+    # ------------------------------------------------- versioned row reads
+    # The index tables are append-only parquet; the only mutation an
+    # append-only store allows is a NEWER record superseding an older one.
+    # Re-crawl upserts (update_batch) therefore version rows: every
+    # appended row carries `ver`, and `tombstones/` records (tbl, doc_id,
+    # ver) with the doc's CURRENT version per table. A row is live iff
+    # its ver EQUALS the doc's current version (no tombstone record means
+    # version 0). The exact-match rule is what makes update_batch's
+    # commit atomic: new rows are appended at version+1 first (invisible
+    # — their ver exceeds the current version), then ONE tombstone append
+    # flips every touched doc's version, killing the old rows and
+    # activating the new ones in the same commit. Readers go through
+    # _live(), which filters dead rows and hides `ver` from consumers;
+    # indexes never touched by update_batch have no tombstones table and
+    # pay nothing. On the production table format this mechanism is the
+    # engine's row-level upsert/snapshot commit. Reference analog:
+    # pcompress verifies archive-update consistency via metadata checks
+    # and refuses silent mismatches (pcompress.c) — here a changed doc is
+    # explicitly re-versioned, never silently dropped.
+
+    def _kill_map(self, name: str) -> DataFrame | None:
+        """Broadcastable (doc_id, _kill = current version) for table
+        `name`, or None. Metadata-scale: one row per ever-updated doc."""
+        t = self._read("tombstones")
+        if t is None:
+            return None
+        km = (
+            t.filter(F.col("tbl") == _TBL[name])
+            .groupBy("doc_id")
+            .agg(F.max("ver").alias("_kill"))
+        )
+        return F.broadcast(km)
+
+    def _live(self, name: str) -> DataFrame | None:
+        """Table `name` with dead/uncommitted rows filtered (ver == the
+        doc's current version) and the `ver` bookkeeping column hidden —
+        what every consumer should read."""
+        df = self._read(name)
+        if df is None:
+            return None
+        ver = (
+            F.coalesce(F.col("ver"), F.lit(0))
+            if "ver" in df.columns
+            else F.lit(0)
+        )
+        km = self._kill_map(name)
+        if km is None:
+            # no tombstones table: every committed row is version 0, and
+            # any ver>0 row is an uncommitted update-in-flight append
+            if "ver" in df.columns:
+                return df.filter(ver == 0).drop("ver")
+            return df
+        return (
+            df.withColumn("_v", ver)
+            .join(km, "doc_id", "left")
+            .filter(F.col("_v") == F.coalesce(F.col("_kill"), F.lit(0)))
+            .drop("_v", "_kill", "ver")
+        )
+
+    def _with_ver(self, df: DataFrame, name: str) -> DataFrame:
+        """Attach the `ver` column for an append to table `name`: a doc's
+        new rows are written AT its current version, so they are live
+        immediately (never-updated docs write ver 0). During an
+        update_batch, `_pending_vers` overrides this with the update's
+        NOT-YET-COMMITTED next version, making those rows invisible until
+        the closing tombstone append flips the version."""
+        km = self._kill_map(name)
+        cur = (
+            F.lit(0)
+            if km is None
+            else F.coalesce(F.col("_kill"), F.lit(0))
+        )
+        out = df if km is None else df.join(km, "doc_id", "left")
+        if self._pending_vers is not None:
+            out = out.join(self._pending_vers, "doc_id", "left")
+            ver = F.coalesce(F.col("_pv"), cur)
+        else:
+            ver = cur
+        out = out.withColumn("ver", ver.cast("int"))
+        for c in ("_kill", "_pv"):
+            if c in out.columns:
+                out = out.drop(c)
+        return out
+
+    def _cur_sigs(self) -> DataFrame | None:
+        """The corpus delegate view classification must use: live sigs —
+        or, inside an update window, the overlay (the COMPLETE post-update
+        view: changed delegates removed, promoted delegates added)."""
+        if self._sigs_overlay is not None:
+            return self._sigs_overlay
+        return self._live("sigs")
+
+    def _cur_keys(self) -> DataFrame | None:
+        if self._keys_overlay is not None:
+            return self._keys_overlay
+        return self._live("keys")
+
+    def _append_tombstones(self, rows: DataFrame) -> None:
+        rows.select("tbl", "doc_id", "ver").coalesce(1).write.mode(
+            "append"
+        ).parquet(self._p("tombstones"))
+
+    def _append_links(self, links: DataFrame) -> None:
+        """(doc_id, parent_id): identity membership — every non-delegate
+        doc points at the delegate whose text it equals. Batch-scale
+        appends; consumed by update_batch to rebuild exact edges when a
+        delegate's content changes."""
+        self._with_ver(
+            links.select("doc_id", "parent_id"), "links"
+        ).write.mode("append").parquet(self._p("links"))
+
     def _append_keys(self, keyed_rows: DataFrame) -> None:
         """Append (doc_id, ch, key) rows shard-partitioned. Callers pass
         an ALREADY-COMPUTED keyed frame (the probe builds one anyway) —
         recomputing here would run the winnow-anchor UDF a second time
-        over every batch text."""
+        over every batch text.
+
+        Rows are repartitioned BY the shard column first so each task
+        writes into few shard directories: without it every one of the
+        job's partitions fans out into up to N_SHARDS dirs (partitions x
+        64 small files per append — measured as a material slice of the
+        fixed per-batch floor). At production scale the same line becomes
+        repartition(n, shard) with n > N_SHARDS."""
         (
-            keyed_rows.select("doc_id", "ch", "key")
+            self._with_ver(keyed_rows.select("doc_id", "ch", "key"), "keys")
             .withColumn("shard", F.pmod(F.col("key"), F.lit(N_SHARDS)).cast("int"))
+            .repartition(F.col("shard"))
             .write.mode("append")
             .partitionBy("shard")
             .parquet(self._p("keys"))
@@ -136,7 +284,15 @@ class IncrementalDedupIndex:
         from pcompress_spark.pipeline import DedupPipeline
 
         fs = self._fs()
-        for name in ("sigs", "keys", "assignments", "merges"):
+        for name in (
+            "sigs",
+            "keys",
+            "assignments",
+            "merges",
+            "links",
+            "tombstones",
+            "_update_inflight",
+        ):
             fs.delete(self._p(name))
         pipe = DedupPipeline(
             self.spark,
@@ -148,9 +304,19 @@ class IncrementalDedupIndex:
         # run() just materialized the sigs stage — read it back rather
         # than recomputing the signature UDF pass
         sigs = pipe.ckpt.load("sigs")
-        reps = exact.representatives(sigs, exact.text_groups(sigs))
-        reps.write.mode("overwrite").parquet(self._p("sigs"))
+        groups = exact.text_groups(sigs)
+        reps = exact.representatives(sigs, groups)
+        self._with_ver(reps, "sigs").write.mode("overwrite").parquet(
+            self._p("sigs")
+        )
         self._append_keys(fused.fused_keyed_rows(reps, self.cfg))
+        # identity membership of the bootstrap corpus (update_batch needs
+        # it to rebuild exact edges when a delegate's content changes)
+        self._append_links(
+            sigs.join(groups.select("text_sha", "rep_id"), "text_sha")
+            .filter(F.col("doc_id") != F.col("rep_id"))
+            .select("doc_id", F.col("rep_id").alias("parent_id"))
+        )
         # assignments commit LAST (same rationale as add_batch)
         self._write_assignments(assignments, mode="overwrite")
         return self.assignments()
@@ -161,10 +327,11 @@ class IncrementalDedupIndex:
         redelivery anti-join then read only the shard partitions a batch
         hashes into, not the whole ingest history."""
         (
-            df.select("doc_id", "cluster_id")
+            self._with_ver(df.select("doc_id", "cluster_id"), "assignments")
             .withColumn(
                 "shard", F.pmod(F.xxhash64("doc_id"), F.lit(N_SHARDS)).cast("int")
             )
+            .repartition(F.col("shard"))  # few files/dir (see _append_keys)
             .write.mode(mode)
             .partitionBy("shard")
             .parquet(self._p("assignments"))
@@ -208,13 +375,28 @@ class IncrementalDedupIndex:
 
     def assignments(self) -> DataFrame:
         """(doc_id, cluster_id) for every ingested doc, merge closure
-        applied — equal to what a full run over everything would label."""
-        a = self._read("assignments")
+        applied — equal to what a full run over everything would label.
+
+        Raises if an update_batch was interrupted mid-flight (loud, like
+        the reference's refusal to read a mismatched archive): re-running
+        update_batch with the same pages heals the index."""
+        self._check_inflight()
+        a = self._live("assignments")
         if a is None:
             return self.spark.createDataFrame([], _ASSIGN_SCHEMA)
         return self._apply_closure(
             a.select("doc_id", "cluster_id"), self._merge_closure()
         )
+
+    def _check_inflight(self) -> None:
+        if self._read("_update_inflight") is not None:
+            raise RuntimeError(
+                "index has an interrupted update_batch (marker "
+                f"{self._p('_update_inflight')} exists): affected docs "
+                "may be unassigned. Re-run update_batch with the same "
+                "pages to heal, or delete the marker to accept the "
+                "partial state."
+            )
 
     def _resolved_for(
         self, ids: DataFrame, mm: DataFrame | None
@@ -224,7 +406,7 @@ class IncrementalDedupIndex:
         (partition filter pushed to the scan) — batch operations never
         scan the full ingest history (the merge_batch pruning pattern,
         streaming/ingest.py)."""
-        a = self._read("assignments")
+        a = self._live("assignments")
         if a is None:
             return self.spark.createDataFrame([], _ASSIGN_SCHEMA)
         shards = [
@@ -242,7 +424,26 @@ class IncrementalDedupIndex:
             .select("doc_id", "cluster_id")
             .join(ids.select("doc_id").distinct(), "doc_id", "left_semi")
         )
-        return self._apply_closure(a, mm)
+        out = self._apply_closure(a, mm)
+        if self._assign_overlay is not None:
+            # update window: relabeled members' NEW (post-split) labels
+            # take precedence over their still-stored old rows
+            ov = self._assign_overlay.join(
+                ids.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+            out = out.join(ov.select("doc_id"), "doc_id", "left_anti").unionByName(
+                ov.select("doc_id", "cluster_id")
+            )
+        return out
+
+    def _known_ids(self, shards: list[int]) -> DataFrame:
+        """doc_ids already assigned, read from the given shard partitions
+        only — the redelivery guard needs membership, not labels, so no
+        merge closure is applied."""
+        a = self._live("assignments")
+        if a is None:
+            return self.spark.createDataFrame([], "doc_id long")
+        return a.filter(F.col("shard").isin(shards)).select("doc_id")
 
     def compact(self) -> int:
         """Fold the merge closure into the assignments table and clear
@@ -339,6 +540,10 @@ class IncrementalDedupIndex:
             matched_old = matched_old.join(
                 bkeys.select("doc_id").distinct(), "doc_id", "left_anti"
             )
+            # stored keys SHOULD be unique per (doc_id, ch, key); dedup
+            # anyway so a crash between concurrent sigs/keys appends that
+            # replays a doc's keys can never inflate bucket counts
+            matched_old = matched_old.dropDuplicates(["doc_id", "ch", "key"])
             rows = bkeys.unionByName(matched_old)
         else:
             rows = bkeys
@@ -475,7 +680,7 @@ class IncrementalDedupIndex:
     def _sim_lookup(self, fresh: DataFrame) -> DataFrame:
         """(doc_id, simhash) for fresh delegates ∪ the stored corpus."""
         sims = fresh.select("doc_id", "simhash")
-        old_sigs = self._read("sigs")
+        old_sigs = self._cur_sigs()
         if old_sigs is not None:
             sims = sims.unionByName(old_sigs.select("doc_id", "simhash"))
         return sims
@@ -484,7 +689,8 @@ class IncrementalDedupIndex:
         self, pairs: DataFrame, fresh: DataFrame, old_sigs: DataFrame | None
     ) -> DataFrame:
         """Delegate rows (incl. text) for exactly the docs appearing as
-        pair endpoints — the only corpus rows the verify join ships."""
+        pair endpoints — the only corpus rows the verify join ships.
+        Returned LAZY; the caller picks persist vs plan barrier."""
         ids = (
             pairs.select(F.col("id_a").alias("doc_id"))
             .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -495,7 +701,49 @@ class IncrementalDedupIndex:
             reps = reps.unionByName(
                 old_sigs.join(ids, "doc_id", "left_semi")
             )
-        return reps.localCheckpoint(eager=True)
+        return reps
+
+    def _verified_fuzzy(
+        self,
+        cands: DataFrame,
+        fresh: DataFrame,
+        old_sigs: DataFrame | None,
+    ) -> DataFrame:
+        """prefilter -> degree cap -> exact verification: the shared tail
+        of add_batch's probe and update_batch's member relabel. Returns
+        verified (src, dst) edges.
+
+        PLAN BARRIERS (capped/reps_act localCheckpoints): the batch runs
+        as ONE lazy tree (the full pipeline truncates lineage at durable
+        checkpoints; there are none here) — without a cut the CC rounds
+        re-plan the whole tree and AQE's per-update plan stringification
+        alone goes super-linear (measured: a 2-doc batch hung 10+ minutes
+        in explainString)."""
+        cfg = self.cfg
+        if cfg.lsh_rows == 1:
+            filtered, _pre = verify.prefilter_candidates(
+                cands, None, overlap_from_bands=True
+            )
+            capped, _cap = verify.cap_candidate_degree(
+                filtered, cfg.verify_degree_cap
+            )
+            capped = capped.localCheckpoint(eager=True)
+            # shallow subtrees from here on — persist, don't barrier
+            reps_act = tracked_persist(
+                self._endpoint_reps(capped, fresh, old_sigs)
+            )
+        else:
+            reps_act = self._endpoint_reps(
+                cands, fresh, old_sigs
+            ).localCheckpoint(eager=True)
+            filtered, _pre = verify.prefilter_candidates(
+                cands, reps_act, overlap_from_bands=False
+            )
+            capped, _cap = verify.cap_candidate_degree(
+                filtered, cfg.verify_degree_cap
+            )
+            capped = capped.localCheckpoint(eager=True)
+        return verify.verify_edges(capped, reps_act, cfg).select("src", "dst")
 
     # ---------------------------------------------------------- add_batch
     def add_batch(self, pages: DataFrame) -> DataFrame:
@@ -516,6 +764,8 @@ class IncrementalDedupIndex:
         # task-scheduling latency than in work (measured: the candidate
         # phase alone 43.9s at 128 partitions vs 14.9s at 32 on the same
         # batch); restored on exit so co-resident jobs keep their sizing
+        if self._known_exclude is None:  # inside update_batch the marker is ours
+            self._check_inflight()
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             return self._add_batch_inner(pages)
@@ -536,37 +786,59 @@ class IncrementalDedupIndex:
             # AttributeSet/missingInput before any task ran). An eager
             # localCheckpoint truncates the plan at executor storage —
             # the in-memory analog of the pipeline's durable barriers.
-            old_sigs = self._read("sigs")
-            old_keys = self._read("keys")
+            # Barriers are a material part of the per-batch FIXED cost
+            # (~25 small jobs measured in r3), so the batch runs exactly
+            # three of them — sigs, classified, capped — plus the lazy
+            # pre-CC cut; everything else is persist-backed and
+            # materializes inside a job that was running anyway.
+            old_sigs = self._cur_sigs()
+            old_keys = self._cur_keys()
             mm = self._merge_closure()
 
-            # in-batch url dedup (deterministic: lowest text_sha wins) —
-            # a landing file can carry the same url twice and one doc_id
-            # must never yield two sig rows
+            # ---- phase A: identity columns only (codegen — the sketch
+            # UDF is NOT paid yet). One light aggregation collects the
+            # batch's assignment shards AND its row count (shuffle
+            # sizing); in-batch url dedup (deterministic: lowest text_sha
+            # wins — one doc_id must never yield two sig rows) and the
+            # redelivery anti-join then run BEFORE attach_sigs, so a
+            # redelivered batch never pays an Arrow batch.
             from pyspark.sql import Window
 
-            raw = exact.build_sigs(pages, cfg)
-            w = Window.partitionBy("doc_id").orderBy("text_sha")
-            raw = (
-                raw.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-                .localCheckpoint(eager=True)
+            base = exact.base_ids(pages)
+            shard_counts = (
+                base.groupBy(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(N_SHARDS))
+                    .cast("int")
+                    .alias("s")
+                )
+                .count()
+                .collect()
             )
-            # redelivery guard: shard-pruned lookup of this batch's ids
-            known = self._resolved_for(raw.select("doc_id"), mm)
-            sigs = raw.join(
-                known.select("doc_id"), "doc_id", "left_anti"
-            ).localCheckpoint(eager=True)
-            if sigs.isEmpty():  # fully re-delivered batch: nothing to do
-                return sigs.select("doc_id", F.lit(0).cast("long").alias("cluster_id"))
-            n_batch = sigs.count()
+            n_raw = sum(r["count"] for r in shard_counts)
+            if n_raw == 0:
+                return spark.createDataFrame([], _ASSIGN_SCHEMA)
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
-                str(max(16, min(1024, n_batch // 400))),
+                str(max(16, min(1024, n_raw // 400))),
             )
+            known = self._known_ids([r["s"] for r in shard_counts])
+            if self._known_exclude is not None:
+                # update window: docs being re-versioned must NOT be
+                # skipped by the redelivery guard — they are the batch
+                known = known.join(self._known_exclude, "doc_id", "left_anti")
+            w = Window.partitionBy("doc_id").orderBy("text_sha")
+            sigs = exact.attach_sigs(
+                base.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .join(known, "doc_id", "left_anti"),
+                cfg,
+            ).localCheckpoint(eager=True)
+            n_batch = sigs.count()
+            if n_batch == 0:  # fully re-delivered batch: nothing to do
+                return spark.createDataFrame([], _ASSIGN_SCHEMA)
             groups = exact.text_groups(sigs)
-            breps = tracked_persist(exact.representatives(sigs, groups))
+            breps = exact.representatives(sigs, groups)
 
             # ---- tier 1: identity vs corpus (sha join against delegates).
             # A SELF-match (old delegate id == this doc id) means a prior
@@ -576,39 +848,36 @@ class IncrementalDedupIndex:
             # (their keys are probed from the OLD side and their sigs are
             # NOT re-appended), which makes the append sequence
             # crash-recoverable rather than merely idempotent.
+            # ONE barrier materializes delegate-with-match `classified`;
+            # recovery_ids / ident / fresh are cheap filters over it.
             if old_sigs is not None:
                 old_ident = old_sigs.select(
                     "text_sha", F.col("doc_id").alias("old_id")
                 )
-                matched = tracked_persist(
-                    breps.select("doc_id", "text_sha").join(
-                        old_ident, "text_sha"
-                    )
-                )
-                recovery_ids = (
-                    matched.filter(F.col("old_id") == F.col("doc_id"))
-                    .select("doc_id")
-                    .localCheckpoint(eager=True)
-                )
-                true_matched = matched.filter(
-                    F.col("old_id") != F.col("doc_id")
-                )
-                old_res = self._resolved_for(
-                    true_matched.select(F.col("old_id").alias("doc_id")), mm
-                ).withColumnRenamed("doc_id", "old_id")
-                ident = tracked_persist(
-                    true_matched.join(old_res, "old_id").select(
-                        "doc_id", F.col("cluster_id").alias("old_cluster")
-                    )
-                )
-                fresh = breps.join(ident, "doc_id", "left_anti")
+                classified = breps.join(
+                    old_ident, "text_sha", "left"
+                ).localCheckpoint(eager=True)
             else:
-                ident = spark.createDataFrame(
-                    [], "doc_id long, old_cluster long"
-                )
-                recovery_ids = spark.createDataFrame([], "doc_id long")
-                fresh = breps
-            fresh = fresh.localCheckpoint(eager=True)
+                classified = breps.withColumn(
+                    "old_id", F.lit(None).cast("long")
+                ).localCheckpoint(eager=True)
+            recovery_ids = classified.filter(
+                F.col("old_id") == F.col("doc_id")
+            ).select("doc_id")
+            true_matched = classified.filter(
+                F.col("old_id").isNotNull() & (F.col("old_id") != F.col("doc_id"))
+            )
+            old_res = self._resolved_for(
+                true_matched.select(F.col("old_id").alias("doc_id")), mm
+            ).withColumnRenamed("doc_id", "old_id")
+            ident = tracked_persist(
+                true_matched.select("doc_id", "old_id")
+                .join(old_res, "old_id")
+                .select("doc_id", F.col("cluster_id").alias("old_cluster"))
+            )
+            fresh = classified.filter(
+                F.col("old_id").isNull() | (F.col("old_id") == F.col("doc_id"))
+            ).drop("old_id")
 
             # ---- tier 2+3: bipartite probe of the key index. Pairs with
             # at least one fresh endpoint are built DIRECTLY from a
@@ -628,39 +897,14 @@ class IncrementalDedupIndex:
             # endpoints — prefilter (r==1 band-count mode) and the degree
             # cap need no row data; for r>1 prefilter recomputes overlap
             # from minhash arrays, so pull before filtering then
-            if cfg.lsh_rows == 1:
-                filtered, _pre = verify.prefilter_candidates(
-                    cands, None, overlap_from_bands=True
-                )
-                capped, _cap = verify.cap_candidate_degree(
-                    filtered, cfg.verify_degree_cap
-                )
-                # PLAN BARRIER: the batch runs sigs→probe→prefilter→cap→
-                # verify→CC as ONE lazy tree (the full pipeline truncates
-                # lineage at its durable checkpoints; there are none
-                # here). Without a cut the CC rounds re-plan the whole
-                # tree and AQE's per-update plan stringification alone
-                # goes super-linear (measured: a 2-doc batch hung 10+
-                # minutes in explainString).
-                capped = capped.localCheckpoint(eager=True)
-                reps_act = self._endpoint_reps(capped, fresh, old_sigs)
-            else:
-                reps_act = self._endpoint_reps(cands, fresh, old_sigs)
-                filtered, _pre = verify.prefilter_candidates(
-                    cands, reps_act, overlap_from_bands=False
-                )
-                capped, _cap = verify.cap_candidate_degree(
-                    filtered, cfg.verify_degree_cap
-                )
-                capped = capped.localCheckpoint(eager=True)
-            fuzzy = verify.verify_edges(capped, reps_act, cfg).select(
-                "src", "dst"
+            fuzzy = tracked_persist(
+                self._verified_fuzzy(cands, fresh, old_sigs)
             )
 
             # ---- component labels over the batch-touched subgraph, old
             # endpoints relabeled to their resolved cluster ids (pruned
-            # lookup: only the fuzzy endpoints' shards are read)
-            fuzzy = fuzzy.localCheckpoint(eager=True)
+            # lookup: only the fuzzy endpoints' shards are read; its
+            # shard-collect job is also what materializes `fuzzy`)
             eids = (
                 fuzzy.select(F.col("src").alias("doc_id"))
                 .unionByName(fuzzy.select(F.col("dst").alias("doc_id")))
@@ -686,29 +930,36 @@ class IncrementalDedupIndex:
                 F.col("doc_id").alias("src"),
                 F.col("old_cluster").alias("dst"),
             )
+            # lazy pre-CC cut: cluster_labels' gating count() is the job
+            # that materializes it. Batch-touched edge sets are batch-
+            # scale, so the driver union-find path almost always applies;
+            # a giant batch falls back to the distributed loop unchanged.
             edges = (
                 _to_cluster(_to_cluster(fuzzy, "src"), "dst")
                 .unionByName(exact_e)
                 .unionByName(ident_e)
-            ).localCheckpoint(eager=True)  # second barrier: CC iterates
-            labels = tracked_persist(connected_components(edges))
+            ).localCheckpoint(eager=False)
+            labels = tracked_persist(cluster_labels(edges))
 
             # merges: an old-cluster node whose component min undercuts
             # it. Only clusters of TOUCHED old docs (fuzzy endpoints or
             # identity targets) can appear as CC nodes, so the candidate
-            # set needs no full-history scan.
+            # set needs no full-history scan — merge rows are
+            # metadata-scale (bounded by clusters bridged per batch),
+            # collected once instead of isEmpty()+write double actions.
             old_clusters = (
                 old_map.select(F.col("cluster_id").alias("doc_id"))
                 .unionByName(ident.select(F.col("old_cluster").alias("doc_id")))
                 .distinct()
             )
-            merges = (
+            merge_rows = (
                 labels.join(old_clusters, "doc_id", "left_semi")
                 .filter(F.col("cluster_id") != F.col("doc_id"))
                 .select(
                     F.col("doc_id").alias("old_cluster"),
                     F.col("cluster_id").alias("new_cluster"),
                 )
+                .collect()
             )
 
             batch_assign = (
@@ -721,20 +972,426 @@ class IncrementalDedupIndex:
             batch_assign.count()
 
             # ---- append index state. ORDER IS THE CRASH CONTRACT:
-            # merges/sigs/keys first, the assignments append LAST as the
-            # commit record. A crash before the assignments append leaves
-            # docs whose index state exists but who were never assigned —
+            # merges/sigs/keys first (CONCURRENTLY — they are independent
+            # appends and any crash-subset of them is recoverable, see
+            # below), then the assignments append LAST as the commit
+            # record. A crash before the assignments append leaves docs
+            # whose index state exists but who were never classified —
             # exactly what the identity tier's SELF-match recovery path
-            # re-classifies on redelivery without re-appending. A crash
-            # after it is a completed batch (redelivery anti-joins to
-            # empty). Recovery-path docs are excluded from the appends:
-            # their sigs/keys are already in the index.
-            if not merges.isEmpty():
-                merges.write.mode("append").parquet(self._p("merges"))
-            to_append = fresh.join(recovery_ids, "doc_id", "left_anti")
-            to_append.write.mode("append").parquet(self._p("sigs"))
-            self._append_keys(
-                bkeys.join(recovery_ids, "doc_id", "left_anti")
+            # re-classifies on redelivery without re-appending (and the
+            # keys-without-sigs subset simply re-enters fresh; its
+            # replayed key rows are deduped at probe time). A crash after
+            # it is a completed batch (redelivery anti-joins to empty).
+            # Recovery-path docs are excluded from the appends: their
+            # sigs/keys are already in the index.
+            from concurrent.futures import ThreadPoolExecutor
+
+            # identity-membership links: every non-delegate batch doc ->
+            # the delegate whose text it equals (in-batch members follow
+            # their batch rep; if that rep identity-matched an OLD
+            # delegate, both it and its members link to the old one).
+            # update_batch reads these to rebuild exact edges when a
+            # delegate's content changes. Duplicate link rows from a
+            # redelivered crash window are tolerated by every consumer.
+            members_l = (
+                sigs.join(groups.select("text_sha", "rep_id"), "text_sha")
+                .filter(F.col("doc_id") != F.col("rep_id"))
+                .select("doc_id", F.col("rep_id").alias("_brep"))
             )
+            parent_map = classified.select(
+                F.col("doc_id").alias("_brep"),
+                F.coalesce(
+                    F.when(
+                        F.col("old_id") != F.col("doc_id"), F.col("old_id")
+                    ),
+                    F.col("doc_id"),
+                ).alias("parent_id"),
+            )
+            link_rows = (
+                members_l.join(parent_map, "_brep")
+                .select("doc_id", "parent_id")
+                .unionByName(
+                    true_matched.select(
+                        "doc_id", F.col("old_id").alias("parent_id")
+                    )
+                )
+            )
+
+            def _w_merges() -> None:
+                if merge_rows:
+                    spark.createDataFrame(
+                        merge_rows, _MERGE_SCHEMA
+                    ).write.mode("append").parquet(self._p("merges"))
+
+            def _w_sigs() -> None:
+                self._with_ver(
+                    fresh.join(recovery_ids, "doc_id", "left_anti"), "sigs"
+                ).write.mode("append").parquet(self._p("sigs"))
+
+            def _w_keys() -> None:
+                self._append_keys(
+                    bkeys.join(recovery_ids, "doc_id", "left_anti")
+                )
+
+            def _w_links() -> None:
+                self._append_links(link_rows)
+
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                for fut in [
+                    ex.submit(f)
+                    for f in (_w_merges, _w_sigs, _w_keys, _w_links)
+                ]:
+                    fut.result()
             self._write_assignments(batch_assign, mode="append")
             return batch_assign
+
+    # --------------------------------------------------------- update_batch
+    def update_batch(self, pages: DataFrame) -> DataFrame:
+        """Re-crawl upsert: classify a batch in which some urls are
+        ALREADY indexed but their content changed (the case add_batch
+        deliberately skips). For each changed doc the old membership is
+        tombstoned, its cluster's remaining members are relabeled — with
+        genuine SPLITS handled by re-verifying the member subgraph from
+        the stored sigs/keys — and the new content is classified exactly
+        like a fresh doc (it may rejoin the same cluster, join another,
+        or stand alone). Unknown urls ingest normally; known-unchanged
+        rows are no-ops. Returns the (re)classified batch docs'
+        (doc_id, cluster_id).
+
+        Identity groups survive delegate updates by PROMOTION: when a
+        changed doc was the delegate of an exact-dup group, the smallest
+        remaining member is promoted to delegate, inheriting the old
+        content's sig/key rows (the content still exists in the corpus —
+        only the crawler's copy under that url changed).
+
+        Commit protocol (the closest an append-only parquet store gets to
+        the table format's atomic snapshot): every new row is appended at
+        each doc's NEXT version — invisible, because a row is live only
+        when its ver EQUALS the doc's current version — and one final
+        tombstone append flips all touched versions at once. A crash
+        before the flip leaves only invisible orphans plus the inflight
+        marker; readers fail loudly on the marker (reference analog:
+        pcompress refuses mismatched archive updates, pcompress.c
+        metadata checks), and re-running update_batch with the same pages
+        heals — detection reads only committed state, and the re-run
+        writes at a version above the orphans'. Merge-log rows from the
+        classification step are the one pre-commit-visible write:
+        duplicates across a heal are idempotent in the closure, and a
+        dangling row is unreachable once the update commits.
+
+        Parity contract (tests/test_incremental.py): after update_batch,
+        assignments() equals a monolithic pipeline run over the updated
+        corpus, at default caps (the add_batch cap caveat in the module
+        docstring applies here identically)."""
+        spark = self.spark
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            return self._update_batch_inner(pages)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            self._pending_vers = None
+            self._sigs_overlay = None
+            self._keys_overlay = None
+            self._assign_overlay = None
+            self._known_exclude = None
+
+    def _update_batch_inner(self, pages: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        cfg, spark = self.cfg, self.spark
+        fs = self._fs()
+        with CacheScope():
+            # ---- detect: batch identity vs CURRENT content per doc.
+            # Delegates carry their own sha; identity-dup docs carry their
+            # parent delegate's (texts equal by construction).
+            base = exact.base_ids(pages)
+            w = Window.partitionBy("doc_id").orderBy("text_sha")
+            base = (
+                base.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .localCheckpoint(eager=True)
+            )
+            live_sigs = self._live("sigs")
+            if live_sigs is None:
+                return self.add_batch(pages)
+            live_links = self._live("links")
+            cur = live_sigs.select("doc_id", F.col("text_sha").alias("_cur"))
+            links_dd = None
+            if live_links is not None:
+                # crash-window duplicate link rows are expected; one row
+                # per doc is the contract for every consumer below
+                links_dd = live_links.dropDuplicates(["doc_id"]).localCheckpoint(
+                    eager=True
+                )
+                cur = cur.unionByName(
+                    links_dd.join(
+                        live_sigs.select(
+                            F.col("doc_id").alias("parent_id"),
+                            F.col("text_sha").alias("_cur"),
+                        ),
+                        "parent_id",
+                    ).select("doc_id", "_cur")
+                )
+            cls = base.join(cur, "doc_id", "left").localCheckpoint(eager=True)
+            changed = cls.filter(
+                F.col("_cur").isNotNull() & (F.col("_cur") != F.col("text_sha"))
+            )
+            changed_ids = sorted(
+                r["doc_id"] for r in changed.select("doc_id").distinct().collect()
+            )
+            if not changed_ids:
+                # nothing to upsert (or a healed re-run whose update
+                # already committed): clear any marker, ingest the rest
+                fs.delete(self._p("_update_inflight"))
+                return self.add_batch(pages)
+            chdf = F.broadcast(
+                spark.createDataFrame(
+                    [(d,) for d in changed_ids], "doc_id long"
+                )
+            )
+            to_classify = (
+                cls.filter(
+                    F.col("_cur").isNull()
+                    | (F.col("_cur") != F.col("text_sha"))
+                )
+                .select("url", "text", "lang")
+                .localCheckpoint(eager=True)
+            )
+
+            # ---- loud gate: marker up before any index write
+            fs.delete(self._p("_update_inflight"))
+            spark.createDataFrame(
+                [(d,) for d in changed_ids], "doc_id long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._p("_update_inflight")
+            )
+
+            # ---- plan: affected clusters + members (committed state)
+            mm = self._merge_closure()
+            aff = [
+                r["cluster_id"]
+                for r in self._resolved_for(chdf, mm)
+                .select("cluster_id")
+                .distinct()
+                .collect()
+            ]
+            a_live = self._live("assignments")
+            members = (
+                self._apply_closure(
+                    a_live.select("doc_id", "cluster_id"), mm
+                )
+                .filter(F.col("cluster_id").isin(aff))
+                .select("doc_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            members_minus = members.join(
+                chdf, "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+
+            # ---- promotion plan: changed delegates with surviving
+            # identity children hand the old content's delegate role (and
+            # sig/key rows) to the smallest child
+            live_keys = self._live("keys")
+            ch_deleg = live_sigs.join(chdf, "doc_id", "left_semi")
+            promo_sigs = promo_keys = promo_links = None
+            children = None
+            if links_dd is not None:
+                children = links_dd.join(
+                    chdf.select(F.col("doc_id").alias("parent_id")),
+                    "parent_id",
+                    "left_semi",
+                ).join(chdf, "doc_id", "left_anti")
+                promo = children.groupBy("parent_id").agg(
+                    F.min("doc_id").alias("new_rep")
+                )
+                promo_sigs = (
+                    ch_deleg.join(
+                        promo, ch_deleg["doc_id"] == promo["parent_id"]
+                    )
+                    .select(
+                        F.col("new_rep").alias("doc_id"),
+                        F.lit(None).cast("string").alias("url"),
+                        "text_sha",
+                        "lang",
+                        "text",
+                        "nshingles",
+                        "minhash",
+                        "simhash",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                promo_keys = (
+                    live_keys.select("doc_id", "ch", "key")
+                    .join(promo, live_keys["doc_id"] == promo["parent_id"])
+                    .select(F.col("new_rep").alias("doc_id"), "ch", "key")
+                    .dropDuplicates(["doc_id", "ch", "key"])
+                    .localCheckpoint(eager=True)
+                    if live_keys is not None
+                    else None
+                )
+                promo_links = (
+                    children.join(promo, "parent_id")
+                    .filter(F.col("doc_id") != F.col("new_rep"))
+                    .select("doc_id", F.col("new_rep").alias("parent_id"))
+                    .localCheckpoint(eager=True)
+                )
+                children = children.localCheckpoint(eager=True)
+
+            # ---- uncommitted versions: everything this update writes
+            # goes at (per-doc raw max over every table) + 1, above both
+            # committed state and any crashed attempt's orphans
+            touched = chdf.select("doc_id").unionByName(
+                members.select("doc_id")
+            )
+            if children is not None:
+                touched = touched.unionByName(children.select("doc_id"))
+            touched = touched.unionByName(
+                base.join(cur, "doc_id", "left_anti").select("doc_id")
+            )
+            touched = touched.distinct().localCheckpoint(eager=True)
+            maxes = []
+            for name in ("sigs", "keys", "assignments", "links", "tombstones"):
+                df = self._read(name)
+                if df is not None and "ver" in df.columns:
+                    maxes.append(
+                        df.join(touched, "doc_id", "left_semi")
+                        .groupBy("doc_id")
+                        .agg(F.max("ver").alias("_mv"))
+                    )
+            mv = None
+            for m in maxes:
+                mv = m if mv is None else mv.unionByName(m)
+            if mv is not None:
+                mv = mv.groupBy("doc_id").agg(F.max("_mv").alias("_mv"))
+                vnext = touched.join(mv, "doc_id", "left").select(
+                    "doc_id",
+                    (F.coalesce(F.col("_mv"), F.lit(0)) + 1).alias("_pv"),
+                )
+            else:
+                vnext = touched.select(
+                    "doc_id", F.lit(1).alias("_pv")
+                )
+            vnext = vnext.localCheckpoint(eager=True)
+            self._pending_vers = F.broadcast(vnext)
+
+            # ---- overlays: the post-update pre-classification corpus
+            sigs_overlay = live_sigs.join(chdf, "doc_id", "left_anti")
+            if promo_sigs is not None:
+                sigs_overlay = sigs_overlay.unionByName(promo_sigs)
+            keys_overlay = (
+                live_keys.select("doc_id", "ch", "key").join(
+                    chdf, "doc_id", "left_anti"
+                )
+                if live_keys is not None
+                else None
+            )
+            if promo_keys is not None and keys_overlay is not None:
+                keys_overlay = keys_overlay.unionByName(promo_keys)
+            self._sigs_overlay = sigs_overlay
+            self._keys_overlay = keys_overlay
+            self._known_exclude = chdf
+
+            # ---- relabel the remaining members of affected clusters:
+            # re-verify their subgraph from stored sigs/keys (identity
+            # edges from links, fuzzy edges re-verified) — a removed doc
+            # can only SPLIT a component or change its min label, so the
+            # member set is closed and the pass needs no corpus scan
+            # beyond the members' own rows.
+            D = tracked_persist(
+                sigs_overlay.join(members_minus, "doc_id", "left_semi")
+            )
+            keysD = (
+                keys_overlay.join(members_minus, "doc_id", "left_semi")
+                .dropDuplicates(["doc_id", "ch", "key"])
+                if keys_overlay is not None
+                else None
+            )
+            id_edges = spark.createDataFrame([], "src long, dst long")
+            if links_dd is not None:
+                keep_links = links_dd.join(
+                    members_minus, "doc_id", "left_semi"
+                ).join(
+                    chdf.select(F.col("doc_id").alias("parent_id")),
+                    "parent_id",
+                    "left_anti",
+                )
+                all_links = keep_links
+                if promo_links is not None:
+                    all_links = keep_links.unionByName(promo_links)
+                id_edges = all_links.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("parent_id").alias("dst"),
+                )
+            if keysD is not None:
+                mcands = self._bipartite_candidates(
+                    keysD.localCheckpoint(eager=True), D, None, cfg
+                )
+                fuzzy_m = self._verified_fuzzy(mcands, D, None)
+            else:
+                fuzzy_m = spark.createDataFrame([], "src long, dst long")
+            edges_m = fuzzy_m.unionByName(id_edges).localCheckpoint(
+                eager=False
+            )
+            labels_m = cluster_labels(edges_m)
+            relabeled = tracked_persist(
+                members_minus.join(labels_m, "doc_id", "left").withColumn(
+                    "cluster_id", F.coalesce("cluster_id", "doc_id")
+                )
+            )
+            relabeled.count()
+            self._assign_overlay = relabeled
+
+            # ---- invisible appends: promotion rows, member relabels,
+            # then the fresh classification of changed/new content (its
+            # own appends also land at the uncommitted versions)
+            if promo_sigs is not None:
+                self._with_ver(promo_sigs, "sigs").write.mode(
+                    "append"
+                ).parquet(self._p("sigs"))
+            if promo_keys is not None:
+                self._append_keys(promo_keys)
+            if promo_links is not None:
+                self._append_links(promo_links)
+            self._write_assignments(relabeled, mode="append")
+            out = self._add_batch_inner(to_classify)
+
+            # ---- COMMIT: one tombstone append flips every touched doc's
+            # version — exactly the (tbl, doc) pairs that either received
+            # new rows (self-describing: raw rows found at the pending
+            # version) or lost their content with no replacement
+            flips = []
+            for name in ("sigs", "keys", "assignments", "links"):
+                df = self._read(name)
+                if df is None or "ver" not in df.columns:
+                    continue
+                flips.append(
+                    df.join(vnext, "doc_id")
+                    .filter(F.col("ver") == F.col("_pv"))
+                    .select(
+                        F.lit(_TBL[name]).alias("tbl"), "doc_id", "_pv"
+                    )
+                    .distinct()
+                )
+            kills = chdf.select(
+                F.lit(_TBL["sigs"]).alias("tbl"), "doc_id"
+            ).unionByName(
+                chdf.select(F.lit(_TBL["keys"]).alias("tbl"), "doc_id")
+            ).unionByName(
+                chdf.select(F.lit(_TBL["links"]).alias("tbl"), "doc_id")
+            )
+            if children is not None:
+                kills = kills.unionByName(
+                    children.select(
+                        F.lit(_TBL["links"]).alias("tbl"), "doc_id"
+                    )
+                )
+            tomb = kills.join(vnext, "doc_id").select("tbl", "doc_id", "_pv")
+            for f in flips:
+                tomb = tomb.unionByName(f)
+            self._append_tombstones(
+                tomb.distinct().withColumnRenamed("_pv", "ver")
+            )
+            fs.delete(self._p("_update_inflight"))
+            return out

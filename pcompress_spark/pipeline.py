@@ -36,7 +36,7 @@ from pcompress_spark.cache import CacheScope, tracked_persist
 from pcompress_spark.config import DEFAULT_CONFIG, PipelineConfig
 from pcompress_spark.checkpoint import CheckpointManager
 from pcompress_spark.operators import exact, fused, lsh, simhash, substring, verify
-from pcompress_spark.operators.components import connected_components
+from pcompress_spark.operators.components import cluster_labels
 
 
 class DedupPipeline:
@@ -188,20 +188,27 @@ class DedupPipeline:
         cfg = self.cfg
         t0 = time.time()
         hot = None
-        if cfg.fused_channels:
-            # one fused explode -> bucket_pairs pass for all three channels
-            # (a third of the shuffle bytes/stages of the per-channel
-            # jobs). The ~99%-junk merged pair frame (band noise) is NOT
-            # materialized here: its only persist is prefilter's `scored`
-            # cache, built in the same pass that materializes the capped
-            # set below — persisting it twice (merge + prefilter) was a
-            # measured ~20% of the candidates barrier at 100k docs.
+        if cfg.fused_channels and cfg.lsh_rows == 1:
+            # one fused explode -> bucket_pairs pass for all three
+            # channels WITH the signature prefilter folded in: band-noise
+            # junk (the ~99% majority) is dropped off the narrow persisted
+            # count frame before the hot-key/simhash/prefilter joins ever
+            # shuffle it, and the single junk-stream persist lives inside
+            # fused (persisting it twice — merge + prefilter — was a
+            # measured ~20% of the candidates barrier at 100k docs).
+            filtered, hot, pre_dropped = fused.fused_prefiltered(reps, cfg)
+        elif cfg.fused_channels:
+            # r > 1: band counts are not signature overlap — prefilter
+            # recomputes it exactly from the minhash arrays
             merged, hot = fused.fused_candidates(reps, cfg)
+            filtered, pre_dropped = verify.prefilter_candidates(
+                merged, reps, overlap_from_bands=False
+            )
         else:
             merged = self._candidates_legacy(reps)
-        filtered, pre_dropped = verify.prefilter_candidates(
-            merged, reps, overlap_from_bands=(cfg.lsh_rows == 1)
-        )
+            filtered, pre_dropped = verify.prefilter_candidates(
+                merged, reps, overlap_from_bands=(cfg.lsh_rows == 1)
+            )
         capped, cap_dropped = verify.cap_candidate_degree(
             filtered, cfg.verify_degree_cap
         )
@@ -270,7 +277,7 @@ class DedupPipeline:
 
     # ---------------------------------------------------------- assignments
     def _assignments(self, sigs: DataFrame, edges: DataFrame) -> DataFrame:
-        labels = connected_components(edges.select("src", "dst"))
+        labels = cluster_labels(edges.select("src", "dst"))
         docs = sigs.select("url", "doc_id")
         assigned = docs.join(labels, "doc_id", "left").withColumn(
             "cluster_id", F.coalesce("cluster_id", "doc_id")

@@ -1,9 +1,16 @@
-"""Connected-components unit tests (large-star/small-star, §4.3)."""
+"""Connected-components unit tests (large-star/small-star, §4.3), plus the
+gated driver-side union-find dispatcher (cluster_labels)."""
+
+import random
 
 import pytest
 from pyspark.sql import functions as F
 
-from pcompress_spark.operators.components import connected_components
+from pcompress_spark.operators.components import (
+    cluster_labels,
+    connected_components,
+    union_find_min_labels,
+)
 
 
 def _cc(spark, edges):
@@ -44,3 +51,40 @@ def test_cc_negative_ids(spark):
 def test_cc_self_loops_and_dups_ignored(spark):
     got = _cc(spark, [(1, 1), (2, 1), (1, 2), (2, 1)])
     assert got == {1: 1, 2: 1}
+
+
+def _random_edges(seed=7, n_nodes=300, n_edges=450):
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(-n_nodes, n_nodes), rng.randrange(-n_nodes, n_nodes))
+        for _ in range(n_edges)
+    ]
+
+
+def test_cluster_labels_driver_matches_distributed(spark):
+    """The gated dispatcher's two paths (driver union-find / distributed
+    large-star loop) must produce identical labels on a random multigraph
+    with self-loops, dups, and negative ids."""
+    edges = _random_edges()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    via_driver = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_labels(df, driver_max_edges=10**9).collect()
+    }
+    via_dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_labels(df, driver_max_edges=0).collect()
+    }
+    assert via_driver == via_dist
+    assert len(via_driver) > 0
+    # spot-check against the pure-python union-find directly
+    assert via_driver == union_find_min_labels(
+        (a, b) for a, b in edges if a != b
+    )
+
+
+def test_cluster_labels_empty_and_self_loops(spark):
+    df = spark.createDataFrame([(5, 5)], "src long, dst long")
+    assert cluster_labels(df).collect() == []
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert cluster_labels(empty).collect() == []

@@ -150,6 +150,51 @@ def test_r_gt_1_emits_null_overlap(spark):
     reps.unpersist()
 
 
+def _prefilter_parity(spark, reps, cfg, min_matches=3):
+    """fused_prefiltered must equal prefilter_candidates over
+    fused_candidates — same kept pairs/columns AND same drop log."""
+    kept_f, _hot, drop_f = fused.fused_prefiltered(reps, cfg, min_matches)
+    kept_l, drop_l = verify.prefilter_candidates(
+        fused.fused_candidates(reps, cfg)[0], reps, min_matches=min_matches
+    )
+    assert _as_dict(kept_f) == _as_dict(kept_l)
+    as_map = lambda df: {r.doc_id: r.n_dropped for r in df.collect()}  # noqa: E731
+    assert as_map(drop_f) == as_map(drop_l)
+    return kept_f
+
+
+def test_fused_prefiltered_equals_separate_prefilter(spark):
+    # 800 docs: the smallest datagen corpus where pairs actually survive
+    # the min_matches gate (at 400 everything is band noise)
+    cfg = PipelineConfig()
+    reps = _reps(spark, 800, cfg)
+    kept = _prefilter_parity(spark, reps, cfg)
+    assert kept.count() > 0
+    reps.unpersist()
+
+
+def test_fused_prefiltered_hot_paths(spark, monkeypatch):
+    """Parity must hold through BOTH hot-key correction join strategies:
+    the broadcast fast path and the shuffle fallback (forced by a zero
+    broadcast gate), on the crafted over-cap corpus."""
+    cfg = PipelineConfig(max_bucket_docs=4)
+    reps = _crafted_reps(spark).persist()
+    expect = {(1, j) for j in range(2, 7)} | {(2, 3)}  # (7,8) is junk
+    for gate in (fused.HOT_DOCS_BROADCAST_MAX, 0):
+        monkeypatch.setattr(fused, "HOT_DOCS_BROADCAST_MAX", gate)
+        kept = _prefilter_parity(spark, reps, cfg)
+        assert {(r.id_a, r.id_b) for r in kept.collect()} == expect
+    reps.unpersist()
+
+
+def test_fused_prefiltered_rejects_r_gt_1(spark):
+    import pytest
+
+    cfg = PipelineConfig(lsh_bands=4, lsh_rows=5)
+    with pytest.raises(ValueError):
+        fused.fused_prefiltered(_crafted_reps(spark), cfg)
+
+
 def test_null_overlap_ranks_at_floor(spark):
     """Simhash/winnow-only pairs (null overlap) must outrank weak minhash
     pairs in the degree cap (ADVICE r2), not sort at 0."""

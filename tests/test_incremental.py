@@ -179,7 +179,9 @@ def test_crash_recovery_after_partial_append(spark, tmp_path):
     # assignments never committed
     bs = exact.build_sigs(_pages(spark, [("u://b", b)]), idx.cfg)
     brep = exact.representatives(bs, exact.text_groups(bs))
-    brep.write.mode("append").parquet(f"{tmp_path}/sigs")
+    idx._with_ver(brep, "sigs").write.mode("append").parquet(
+        f"{tmp_path}/sigs"
+    )
     idx._append_keys(fused.fused_keyed_rows(brep, idx.cfg))
     sigs_n = spark.read.parquet(f"{tmp_path}/sigs").count()
     keys_n = spark.read.parquet(f"{tmp_path}/keys").count()
