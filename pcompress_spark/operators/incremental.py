@@ -425,6 +425,12 @@ class IncrementalDedupIndex:
             .join(ids.select("doc_id").distinct(), "doc_id", "left_semi")
         )
         out = self._apply_closure(a, mm)
+        if self._known_exclude is not None:
+            # update window: the docs being re-versioned are NOT old docs
+            # — their still-stored (pre-flip) assignment rows must not
+            # resolve, or a fresh-fresh edge between two changed docs
+            # collapses to a self-loop of their old cluster and vanishes
+            out = out.join(self._known_exclude, "doc_id", "left_anti")
         if self._assign_overlay is not None:
             # update window: relabeled members' NEW (post-split) labels
             # take precedence over their still-stored old rows
