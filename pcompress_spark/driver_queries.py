@@ -764,6 +764,22 @@ def q_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination [training-data op, global-index-probe
+    analog rabin/global/index.c:485-558]: corpus docs sharing any token
+    8-gram with a held-out benchmark set are flagged. The benchmark is a
+    deterministic slice of the documents table (doc_id % 20 == 7 — the
+    planted near-dup pairs straddle the split, so the fixture has real
+    contamination); the corpus is every other doc. Broadcast n-gram
+    index + explode/semi-join/count — no corpus-sized shuffle."""
+    from pcompress_spark.analysis import decontam as DC
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 20 == 7)
+    corpus = d.filter(F.col("doc_id") % 20 != 7)
+    return DC.contamination(corpus, bench, n=DC.DEFAULT_N)
+
+
 QUERIES = {
     "exact_identity": q_exact_identity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -800,6 +816,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
     "dedup_tiers": q_dedup_tiers,
+    "decontaminate": q_decontaminate,
 }
 
 
@@ -1378,3 +1395,37 @@ JOIN cl ON cl.doc_id = i.doc_id
 
 
 ORACLES.update(_webtext_oracles())
+
+# decontamination: same tokenizer as the Spark side (lowercased TOKEN_RE),
+# grams joined with one space, 8-gram windows, benchmark = doc_id%20==7.
+# DuckDB's generate_series(1, k) is empty for k < 1, so short docs need no
+# guard here (unlike Spark's sequence()).
+ORACLES["decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[一-龥]|[^\s一-龥]+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 7, 0)),
+           i -> array_to_string(ws[i:i+7], ' '))) AS gs
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 20 = 7
+),
+corpus AS (SELECT doc_id, gs FROM grams WHERE doc_id % 20 <> 7),
+hits AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM corpus) e
+  JOIN bench USING (gram)
+  GROUP BY e.doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.gs) AS INT) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
