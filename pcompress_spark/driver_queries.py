@@ -780,6 +780,42 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DC.contamination(corpus, bench, n=DC.DEFAULT_N)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup [C4/RefinedWeb line rule; the reference's
+    global identity probe one granularity below the doc,
+    rabin/global/index.c:485-558 + earliest-wins backrefs
+    rabin_dedup.c:1606-1615]: per doc, how many lines survive when every
+    line keeps only its corpus-wide first occurrence, plus the surviving
+    text. The synthetic corpus has no newlines, so lines are 12-token
+    blocks (analysis/linedup.doc_lines mode='token_block')."""
+    from pcompress_spark.analysis import linedup as LD
+
+    return LD.line_dedup_docs(
+        _docs(spark, sf_dir), mode="token_block", block_tokens=12
+    )
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture reweighting [training-data op]: per-source token
+    mass and the up/down-sampling weight to a uniform token mix."""
+    from pcompress_spark.analysis import linedup as LD
+
+    return LD.mix_weights(_docs(spark, sf_dir), group_col="source")
+
+
+def q_cluster_rep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection policy over near-dup clusters [J7 variant:
+    the reference hard-codes earliest-block-wins
+    (rabin_dedup.c:1606-1615); a curation pipeline also wants
+    keep-the-longest for re-crawled pages]: rep = max length(text), ties
+    to min doc_id, per verified cluster."""
+    from pcompress_spark.analysis import linedup as LD
+
+    d = _docs(spark, sf_dir)
+    labels = q_dedup_clusters(spark, sf_dir)
+    return LD.cluster_rep_policy(d, labels, policy="longest")
+
+
 QUERIES = {
     "exact_identity": q_exact_identity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -817,6 +853,9 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "dedup_tiers": q_dedup_tiers,
     "decontaminate": q_decontaminate,
+    "paragraph_dedup": q_paragraph_dedup,
+    "mix_weights": q_mix_weights,
+    "cluster_rep_longest": q_cluster_rep_longest,
 }
 
 
@@ -1428,4 +1467,80 @@ SELECT c.doc_id,
        coalesce(h.n_hits, 0) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
+# cross-doc line dedup: 12-token blocks, keep = corpus-wide first
+# occurrence (min doc_id, then pos). Tokens = '\s+' split of trim(text) —
+# both engines yield [''] for empty text, so the degenerate block is
+# consistent. DuckDB list slices are 1-based inclusive and clamp at the
+# end, matching Spark's slice(ws, start, 12).
+ORACLES["paragraph_dedup"] = r"""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+n AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 12.0) AS INT) AS nblk FROM d),
+l AS (SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(ws[(CAST(i AS INT)*12+1):((CAST(i AS INT)+1)*12)],
+                             ' ') AS line
+      FROM n, unnest(range(0, nblk)) t(i)),
+k AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+               AS keep
+      FROM l)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY pos),
+                '') AS text_dedup
+FROM k GROUP BY doc_id
+"""
+
+# mixture reweighting: identical double arithmetic to linedup._frac6
+# (divide, then *1e6, +0.5, floor, /1e6 — IEEE-deterministic per row).
+ORACLES["mix_weights"] = r"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS ngroups FROM per)
+SELECT source, n_docs, n_tokens,
+  CASE WHEN total = 0 THEN 0.0
+       ELSE floor(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6 END AS token_share,
+  CASE WHEN ngroups * n_tokens = 0 THEN 0.0
+       ELSE floor(CAST(total AS DOUBLE) / CAST(ngroups * n_tokens AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6 END AS weight
+FROM per, t
+"""
+
+# representative policy 'longest': same clusters as dedup_clusters (the
+# recursive-CTE transitive closure), rep = row_number ordered by
+# length(text) DESC, doc_id ASC — definitionally the Spark window.
+ORACLES["cluster_rep_longest"] = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+pairs AS (SELECT id_a, id_b FROM pairjac WHERE jaccard >= {TAU}),
+e(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a
+),
+cl AS (SELECT docs.doc_id,
+              least(docs.doc_id, coalesce(min(reach.b), docs.doc_id))
+                AS cluster_id
+       FROM documents docs LEFT JOIN reach ON reach.a = docs.doc_id
+       GROUP BY docs.doc_id),
+m AS (SELECT cl.doc_id, cl.cluster_id, length(d.text) AS _m
+      FROM cl JOIN documents d USING (doc_id)),
+r AS (SELECT cluster_id, doc_id AS rep_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY _m DESC, doc_id ASC) AS rn
+      FROM m)
+SELECT m.doc_id, m.cluster_id, r.rep_id
+FROM m JOIN r ON m.cluster_id = r.cluster_id AND r.rn = 1
 """
