@@ -171,6 +171,63 @@ def mix_weights(
     )
 
 
+# Knuth multiplicative-hash constant (2^32 / golden ratio, Knuth TAOCP
+# vol 3 §6.4) — public-domain mixing constant, same family as the
+# splitmix64 constants in functions/hashing.py.
+_KNUTH32 = 2654435761
+
+
+def sample_u(doc_id: Column) -> Column:
+    """Deterministic per-doc uniform u in [0, 1) — exact across engines.
+
+    u = ((doc_id mod 2^31) * 2654435761 mod 2^32) / 2^32. The first mod
+    keeps the product under 2^62 (no int64 overflow — DuckDB raises on
+    bigint overflow while Java wraps, so overflow-free arithmetic is the
+    only cross-engine-safe kind), and the numerator is < 2^32, so the
+    division is EXACT in a double: no rounding convention is needed for
+    the u < frac(w) comparison to agree bit-for-bit."""
+    a = F.pmod(doc_id.cast("long"), F.lit(2**31))
+    h = F.pmod(a * F.lit(_KNUTH32), F.lit(2**32))
+    return h.cast("double") / F.lit(float(2**32))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY side of mix_weights: per-doc copy count realizing the
+    per-group resampling weight.
+
+      (doc_id, source, weight, n_copies)
+
+    n_copies = floor(w) + 1{u < frac(w)} with u = sample_u(doc_id) — the
+    standard stochastic-rounding realization whose expectation per doc is
+    exactly w, so group token mass converges to the uniform target mix.
+    Deterministic (same corpus -> same copies), engine-exact (u and w are
+    both bit-reproducible doubles), and scale-flat: the weight table is
+    |groups| rows broadcast back onto the corpus; everything per-row is
+    codegen column math — no second corpus shuffle, no Python."""
+    weights = mix_weights(docs, group_col, text_col).select(
+        group_col, "weight"
+    )
+    u = sample_u(F.col("doc_id"))
+    base = F.floor(F.col("weight")).cast("long")
+    frac = F.col("weight") - F.floor(F.col("weight"))
+    return (
+        docs.select("doc_id", group_col)
+        .join(F.broadcast(weights), group_col)
+        .select(
+            "doc_id",
+            group_col,
+            "weight",
+            (base + F.when(u < frac, 1).otherwise(0)).cast("int").alias(
+                "n_copies"
+            ),
+        )
+    )
+
+
 def cluster_rep_policy(
     docs: DataFrame,
     labels: DataFrame,

@@ -265,3 +265,73 @@ def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "top_word_cnt",
         reason.alias("reason"),
     ).withColumn("keep", (F.col("reason") == "ok").cast("int"))
+
+
+# host = authority of the url minus userinfo and port, lowercased.
+# Leftmost match after an optional scheme:// prefix; the character class
+# is RE2/Java-identical (no lookarounds, no backrefs). Schemeless urls
+# ("example.com/x") resolve their leading segment as the host, matching
+# normalize_url's scheme-stripping convention above.
+_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)"
+HOST_SQL = (
+    "lower(regexp_extract({u},"
+    " '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+)
+
+
+def url_host(url: Column) -> Column:
+    """Registrable host of a url (lowercased; userinfo/port stripped)."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+# stage-1 salt width for the two-stage per-host top-k. 16 bounds the
+# widest stage-1 window to ~1/16 of the hottest host while keeping the
+# stage-2 input at <= 16*k rows per host.
+_QUOTA_SALT = 16
+
+
+def domain_quota(
+    pages: DataFrame,
+    k: int,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain document quota: keep at most k docs per host, longest
+    text first (ties to min doc_id). Emits the kept rows only:
+
+      (host, doc_id, rnk)   with rnk in 1..k per host
+
+    This is the reference's bounded-index discipline
+    (rabin/global/index.c:539-547 evicts within a slot under a cap)
+    applied at the domain tier — a crawl frontier cap that stops one
+    mega-host from dominating the training mix.
+
+    EXACT two-stage top-k (the skew defense): a single
+    row_number-per-host window would funnel a 10^6-page host into one
+    task. Stage 1 ranks within (host, pmod(doc_id, 16)) — 16 bounded
+    windows per host — and keeps each salt-group's top k; any true
+    host-top-k row is necessarily in its salt-group's top k, so no
+    survivor is lost. Stage 2 re-ranks the <= 16k survivors per host in
+    one bounded window and keeps the true top k. Both orderings are
+    (length(text) desc, doc_id asc) — deterministic ties on both
+    engines."""
+    from pyspark.sql import Window
+
+    d = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        "doc_id",
+        F.length(F.col(text_col)).alias("_len"),
+    )
+    order = [F.col("_len").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy(
+        "host", F.pmod(F.col("doc_id"), F.lit(_QUOTA_SALT))
+    ).orderBy(*order)
+    survivors = d.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= int(k)
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= int(k))
+        .select("host", "doc_id", "rnk")
+    )

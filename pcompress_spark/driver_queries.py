@@ -816,6 +816,73 @@ def q_cluster_rep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LD.cluster_rep_policy(d, labels, policy="longest")
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling [the APPLY side of mix_weights]:
+    per-doc copy count floor(w) + 1{u < frac(w)} with u an exact
+    Knuth-multiplicative-hash double of doc_id — stochastic rounding
+    whose expectation per doc is exactly the group weight."""
+    from pcompress_spark.analysis import linedup as LD
+
+    return LD.mixture_sample(_docs(spark, sf_dir), group_col="source")
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota [bounded-index discipline at the domain tier,
+    rabin/global/index.c:539-547]: keep at most 5 docs per host, longest
+    first. Hosts are synthesized deterministically with a planted hot
+    host (every even doc_id -> one host, half the corpus) so the oracle
+    exercises the two-stage top-k's skew path."""
+    from pcompress_spark.analysis import webtext as WT
+
+    d = _docs(spark, sf_dir)
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("hot.example.com")
+    ).otherwise(
+        F.concat(
+            F.lit("h"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.org"),
+        )
+    )
+    pages = d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return WT.domain_quota(pages, k=5)
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head + coverage audit [analyzer.c:32-97 lifted to
+    tokens]: top-20 tokens with rank, share, and cumulative coverage."""
+    from pcompress_spark.analysis import vocab as V
+
+    return V.vocab_stats(_docs(spark, sf_dir), top_n=20)
+
+
+def q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token quality signal [model-free perplexity stand-in]: the
+    fraction of each doc's token occurrences whose corpus count is <= 2.
+    The synthetic vocabulary is ~31 common tokens (nothing would be
+    rare), so a unique junk token is planted on every doc_id % 7 == 0
+    doc — those docs score rare_frac > 0, the rest 0."""
+    from pcompress_spark.analysis import vocab as V
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" junk"), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return V.rare_token_stats(d, rare_max=2)
+
+
 QUERIES = {
     "exact_identity": q_exact_identity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -856,6 +923,10 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "mix_weights": q_mix_weights,
     "cluster_rep_longest": q_cluster_rep_longest,
+    "mixture_sample": q_mixture_sample,
+    "domain_quota": q_domain_quota,
+    "vocab_stats": q_vocab_stats,
+    "rare_token_stats": q_rare_token_stats,
 }
 
 
@@ -1543,4 +1614,118 @@ r AS (SELECT cluster_id, doc_id AS rep_id,
       FROM m)
 SELECT m.doc_id, m.cluster_id, r.rep_id
 FROM m JOIN r ON m.cluster_id = r.cluster_id AND r.rn = 1
+"""
+
+# mixture sampling: the same weight arithmetic as mix_weights, then the
+# Knuth-hash stochastic rounding. pmod is emulated as ((x % m) + m) % m;
+# every intermediate stays under 2^62 (no bigint overflow — DuckDB raises
+# where Java wraps), and u's numerator < 2^32 makes u exact in a double.
+ORACLES["mixture_sample"] = r"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS ngroups FROM per),
+w AS (SELECT source,
+  CASE WHEN ngroups * n_tokens = 0 THEN 0.0
+       ELSE floor(CAST(total AS DOUBLE) / CAST(ngroups * n_tokens AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6 END AS weight
+  FROM per, t),
+u AS (SELECT doc_id, source,
+             CAST((((doc_id % 2147483648) + 2147483648) % 2147483648
+                   * 2654435761) % 4294967296 AS DOUBLE)
+             / 4294967296.0 AS uval
+      FROM documents)
+SELECT u.doc_id, u.source, w.weight,
+       CAST(floor(w.weight)
+            + CASE WHEN u.uval < w.weight - floor(w.weight)
+                   THEN 1 ELSE 0 END AS INT) AS n_copies
+FROM u JOIN w USING (source)
+"""
+
+# domain quota: same synthesized hosts (hot host = even doc_ids), same
+# url -> host regex, ONE naive per-host window — the exact answer the
+# two-stage Spark plan must reproduce.
+ORACLES["domain_quota"] = r"""
+WITH p AS (
+  SELECT doc_id, text,
+         'https://' ||
+         CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+              ELSE 'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.org'
+         END || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (SELECT doc_id,
+             lower(regexp_extract(url,
+               '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)',
+               1)) AS host,
+             length(text) AS _len
+      FROM p),
+r AS (SELECT host, doc_id,
+             CAST(row_number() OVER (PARTITION BY host
+                                     ORDER BY _len DESC, doc_id ASC)
+                  AS INT) AS rnk
+      FROM h)
+SELECT host, doc_id, rnk FROM r WHERE rnk <= 5
+"""
+
+# vocabulary head: token counts over the lowercased TOKEN_RE stream, head
+# by (count desc, token asc), rank + cumulative coverage over the head.
+ORACLES["vocab_stats"] = r"""
+WITH occ AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[一-龥]|[^\s一-龥]+'))
+           AS token
+  FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+      FROM occ GROUP BY token),
+t AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total FROM c),
+head AS (SELECT token, n_occ FROM c
+         ORDER BY n_occ DESC, token ASC LIMIT 20),
+r AS (SELECT token, n_occ,
+             CAST(row_number() OVER (ORDER BY n_occ DESC, token ASC)
+                  AS INT) AS "rank",
+             sum(n_occ) OVER (ORDER BY n_occ DESC, token ASC
+                              ROWS UNBOUNDED PRECEDING) AS _cum
+      FROM head)
+SELECT token, n_occ, "rank",
+       CASE WHEN total = 0 THEN 0.0
+            ELSE floor(CAST(n_occ AS DOUBLE) / CAST(total AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6 END AS share,
+       CASE WHEN total = 0 THEN 0.0
+            ELSE floor(CAST(_cum AS DOUBLE) / CAST(total AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6 END AS cum_share
+FROM r, t
+"""
+
+# rare tokens: plant ' junk<doc_id>' on doc_id % 7 == 0 (the synthetic
+# vocabulary is ~31 common tokens — without planting, nothing is rare),
+# then per-doc fraction of occurrences with corpus count <= 2.
+ORACLES["rare_token_stats"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' junk' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents),
+occ AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                                         '[一-龥]|[^\s一-龥]+')) AS token
+        FROM d),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+      FROM occ GROUP BY token),
+p AS (SELECT occ.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN c.n_occ <= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rare
+      FROM occ JOIN c USING (token) GROUP BY occ.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_tok, 0) AS n_tok,
+       coalesce(p.n_rare, 0) AS n_rare,
+       CASE WHEN coalesce(p.n_tok, 0) = 0 THEN 0.0
+            ELSE floor(CAST(coalesce(p.n_rare, 0) AS DOUBLE)
+                       / CAST(p.n_tok AS DOUBLE) * 1e6 + 0.5) / 1e6
+       END AS rare_frac
+FROM d LEFT JOIN p USING (doc_id)
 """

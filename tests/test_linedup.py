@@ -144,3 +144,66 @@ def test_line_dedup_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_mixture_sample_hand_recomputed(spark):
+    """Two sources, hand-computed weights: s1 has 6 tokens, s2 has 2 ->
+    total 8, uniform target 4 per group -> w(s1)=0.666667, w(s2)=2.0
+    (1e-6-floor-rounded). n_copies = floor(w) + 1{u < frac(w)} with
+    u = Knuth-hash(doc_id)/2^32 recomputed here in plain Python."""
+    rows = [
+        (1, "a b c", "s1"), (2, "d e f", "s1"), (3, "g h", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in LD.mixture_sample(docs, "source").collect()}
+    assert out[1].weight == 0.666667 and out[3].weight == 2.0
+
+    def u(doc_id):
+        return ((doc_id % 2**31) * 2654435761 % 2**32) / 2**32
+
+    for did, w in ((1, 0.666667), (2, 0.666667), (3, 2.0)):
+        expect = int(w) + (1 if u(did) < w - int(w) else 0)
+        assert out[did].n_copies == expect, (did, u(did), w)
+    # integer weight -> frac(w)=0 -> u < 0 never true -> exactly floor(w)
+    assert out[3].n_copies == 2
+
+
+def test_mixture_sample_deterministic(spark):
+    """Same corpus twice -> identical copies (u is a pure function of
+    doc_id, not RNG state)."""
+    rows = [(i, "w " * (i % 5 + 1), f"s{i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted((r.doc_id, r.n_copies)
+               for r in LD.mixture_sample(docs, "source").collect())
+    b = sorted((r.doc_id, r.n_copies)
+               for r in LD.mixture_sample(docs, "source").collect())
+    assert a == b
+
+
+def test_mixture_sample_empty_text_group(spark):
+    """A group whose every doc is empty has 0 tokens -> weight 0.0 ->
+    0 copies; the nonempty group still gets weighted."""
+    rows = [(1, "", "empty"), (2, "   ", "empty"), (3, "a b", "full")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in LD.mixture_sample(docs, "source").collect()}
+    assert out[1].weight == 0.0 and out[1].n_copies == 0
+    # target = total/ngroups = 1 token; "full" holds 2 -> w = 0.5;
+    # u(3) = (3*2654435761 mod 2^32)/2^32 ~= 0.854 >= 0.5 -> 0 copies
+    assert out[3].weight == 0.5 and out[3].n_copies == 0
+
+
+def test_mixture_sample_expected_mass(spark):
+    """LLN check: many same-size docs in a 3:1 token imbalance -> realized
+    copy mass per group approaches weight * n_docs (within 10%), i.e. the
+    stochastic rounding actually rebalances the mix."""
+    rows = [(i, "w x y z", "big") for i in range(600)]
+    rows += [(1000 + i, "w x y z", "small") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = LD.mixture_sample(docs, "source").collect()
+    mass = {}
+    for r in out:
+        mass[r.source] = mass.get(r.source, 0) + r.n_copies
+    # uniform target: 400 tokens-worth each -> big w=2/3 -> ~400 copies;
+    # small w=2.0 -> exactly 400 (integer weight, deterministic)
+    assert mass["small"] == 400
+    assert abs(mass["big"] - 400) <= 40

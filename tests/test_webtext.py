@@ -227,3 +227,75 @@ def test_pipeline_curation_gate(spark, tmp_path):
            for r in spark.read.parquet(f"{ckpt}/_curation_drops").collect()}
     assert log.get("ok") == 2 and log.get("repetitive") == 1
     assert log.get("too_short") == 1
+
+
+def test_url_host_extraction(spark):
+    """Host extraction: scheme/userinfo/port/path stripped, lowercased;
+    schemeless urls resolve their leading segment."""
+    rows = [
+        (1, "https://WWW.Example.COM/a/b?q=1"),
+        (2, "http://user:pw@site.org:8080/x"),
+        (3, "example.net/path"),
+        (4, "ftp://files.example.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: r.host
+        for r in df.select("doc_id", WT.url_host(F.col("url")).alias("host"))
+        .collect()
+    }
+    assert got == {
+        1: "www.example.com", 2: "site.org", 3: "example.net",
+        4: "files.example.io",
+    }
+
+
+def _quota_pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_domain_quota_hot_host_matches_naive(spark):
+    """A 200-doc hot host + sparse hosts: the two-stage top-k returns
+    EXACTLY the naive single-window answer (longest first, ties to min
+    doc_id)."""
+    from pyspark.sql import Window
+
+    rows = [(i, "https://hot.com/p/%d" % i, "x " * (i % 23 + 1))
+            for i in range(200)]
+    rows += [(1000 + i, "https://cold%d.org/p" % i, "y " * 5)
+             for i in range(10)]
+    pages = _quota_pages(spark, rows)
+    got = sorted((r.host, r.doc_id, r.rnk)
+                 for r in WT.domain_quota(pages, k=7).collect())
+    naive_w = Window.partitionBy("host").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    naive = sorted(
+        (r.host, r.doc_id, r.rnk)
+        for r in pages.select(
+            WT.url_host(F.col("url")).alias("host"), "doc_id", "text"
+        )
+        .withColumn("rnk", F.row_number().over(naive_w).cast("int"))
+        .filter(F.col("rnk") <= 7)
+        .collect()
+    )
+    assert got == naive
+    assert sum(1 for h, _, _ in got if h == "hot.com") == 7
+
+
+def test_domain_quota_tie_break_min_doc_id(spark):
+    """Equal lengths: rank order is doc_id asc (deterministic)."""
+    rows = [(d, "https://t.com/%d" % d, "same len") for d in (9, 3, 7)]
+    got = sorted(
+        (r.doc_id, r.rnk)
+        for r in WT.domain_quota(_quota_pages(spark, rows), k=2).collect()
+    )
+    assert got == [(3, 1), (7, 2)]
+
+
+def test_domain_quota_k_exceeds_host_size(spark):
+    """k larger than a host's doc count keeps every doc, ranked."""
+    rows = [(1, "https://s.com/a", "aa"), (2, "https://s.com/b", "bbbb")]
+    got = {(r.doc_id, r.rnk)
+           for r in WT.domain_quota(_quota_pages(spark, rows), k=10).collect()}
+    assert got == {(2, 1), (1, 2)}
