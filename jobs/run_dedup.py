@@ -50,12 +50,21 @@ def parse_cli(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--output", required=True, help="assignments parquet dir")
     ap.add_argument(
         "--mode", default="full",
-        choices=("full", "bootstrap", "increment", "stream"),
+        choices=("full", "bootstrap", "increment", "stream", "curate"),
         help="full: monolithic pipeline run (default); bootstrap: full run "
              "that also persists the incremental index to --index-dir; "
              "increment: classify --input as a new batch against the "
              "index; stream: drain --input as a landing dir of micro-batch "
-             "drops through the near-dup stream (availableNow)",
+             "drops through the near-dup stream (availableNow); curate: "
+             "normalization + quality gate + cross-doc line dedup over the "
+             "pages input -> curated pages at --output, drop report at "
+             "<output>_report",
+    )
+    ap.add_argument(
+        "--line-mode", default="newline",
+        choices=("newline", "token_block", "off"),
+        help="curate mode: cross-doc line dedup granularity (off skips "
+             "the line rewrite)",
     )
     ap.add_argument(
         "--index-dir", default=None,
@@ -104,6 +113,64 @@ def load_pages(spark, args):
     return spark.read.parquet(args.input)
 
 
+def run_curate(spark, args, t0: float) -> int:
+    """Curation tier as a job: deterministic text normalization ->
+    same-url dedup + quality gate (drops logged by reason) -> optional
+    cross-doc line dedup rewrite. Writes curated pages to --output and a
+    per-reason drop report to <output>_report; prints one CURATERESULT
+    JSON line. Every stage is the oracle-certified operator — this mode
+    only composes them."""
+    from pyspark.sql import functions as F
+
+    from pcompress_spark.analysis.linedup import line_dedup_docs
+    from pcompress_spark.analysis.webtext import (
+        curation_gate_pages,
+        normalize_text,
+    )
+
+    pages = load_pages(spark, args)
+    norm = pages.withColumn("text", normalize_text(F.col("text")))
+    kept, drop_log = curation_gate_pages(norm)
+    n_lines_removed = None
+    if args.line_mode != "off":
+        docs = kept.withColumn("doc_id", F.xxhash64("url"))
+        ld = line_dedup_docs(docs, text_col="text", mode=args.line_mode)
+        kept = (
+            docs.join(
+                ld.select("doc_id", "text_dedup", "n_removed"), "doc_id"
+            )
+            .drop("text")
+            .withColumnRenamed("text_dedup", "text")
+            .withColumnRenamed("n_removed", "n_lines_removed")
+            .drop("doc_id")
+        )
+    kept.write.mode("overwrite").parquet(args.output)
+    report_dir = args.output.rstrip("/") + "_report"
+    drop_log.write.mode("overwrite").parquet(report_dir)
+    wall = round(time.time() - t0, 2)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    if args.line_mode != "off":
+        n_lines_removed = out.agg(
+            F.sum("n_lines_removed").cast("long")
+        ).collect()[0][0]
+    reasons = {
+        r["reason"]: r["n"]
+        for r in spark.read.parquet(report_dir).collect()
+    }
+    print("CURATERESULT " + json.dumps({
+        "docs_out": n,
+        "drops_by_reason": {
+            k: v for k, v in sorted(reasons.items()) if k != "ok"
+        },
+        "lines_removed": n_lines_removed,
+        "wall_s": wall,
+        "output": args.output,
+        "report": report_dir,
+    }))
+    return 0
+
+
 def main(argv: list[str]) -> int:
     args = parse_cli(argv)
     # SparkSession from spark-submit's conf — builder.getOrCreate() picks up
@@ -118,6 +185,8 @@ def main(argv: list[str]) -> int:
     if args.mode in ("bootstrap", "increment", "stream") and not args.index_dir:
         raise SystemExit(f"--mode {args.mode} requires --index-dir")
     t0 = time.time()
+    if args.mode == "curate":
+        return run_curate(spark, args, t0)
     if args.mode == "stream":
         # --input is a LANDING DIRECTORY of parquet drops, not one table
         if not args.input:

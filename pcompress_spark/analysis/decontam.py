@@ -102,3 +102,53 @@ def contamination(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def novelty(
+    docs: DataFrame, n: int = DEFAULT_N, text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty against the rest of the corpus:
+
+      (doc_id, n_grams, n_novel, novelty_frac)
+
+    n_novel counts the doc's DISTINCT n-grams whose corpus-wide first
+    occurrence (min doc_id — the reference's earliest-wins backref
+    orientation, rabin_dedup.c:1606-1615) is this doc; novelty_frac =
+    n_novel / n_grams (1e-6-floor-rounded, 0.0 for gram-less docs). Low
+    novelty marks documents that mostly restate earlier corpus content —
+    the document-granularity information-gain signal data-pruning
+    pipelines rank on, and the corpus-internal dual of `contamination`
+    (same gram domain, the corpus itself playing the index role).
+
+    Scale shape: one explode -> ONE gram-keyed groupBy for first
+    occurrence (map-side combine collapses hot boilerplate grams — the
+    linedup.first_occurrence skew story), one join back on the gram key,
+    one per-doc re-aggregation. No broadcast needed and no Python."""
+    from pcompress_spark.analysis.webtext import _frac6
+
+    cg = ngram_sets(docs, n, text_col)
+    occ = cg.select("doc_id", F.explode("grams").alias("gram"))
+    firsts = occ.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        occ.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            _frac6(
+                F.coalesce("n_novel", F.lit(0)),
+                F.coalesce("n_grams", F.lit(0)),
+            ).alias("novelty_frac"),
+        )
+    )

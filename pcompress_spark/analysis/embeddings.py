@@ -588,3 +588,47 @@ def cosine_pairs_above(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023), in the
+    exact oracle-certifiable form:
+
+      (vec_id, sem_cluster, keep)
+
+    Embedding pairs with cosine >= threshold (EXACT — cosine_pairs_above's
+    triangle block-grid join, recall 1 by construction) form a graph;
+    connected components label every vector with its component min id
+    (operators/components.cluster_labels — the same earliest-wins rep rule
+    as the text channels, rabin_dedup.c:1606-1615); keep = the component
+    representative only. Published SemDeDup approximates this with
+    within-kmeans-cluster pruning — that IS this repo's IVF cell layout
+    (ivf_ann_topk), so the approximate scale path is the same machinery
+    with cosine_pairs_above swapped for the cell-local pair join; this
+    exact form is what the DuckDB oracle can certify end to end."""
+    from pcompress_spark.operators.components import cluster_labels
+
+    edges = cosine_pairs_above(
+        corpus, threshold, id_col=id_col, vec_col=vec_col, blocks=blocks
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = cluster_labels(edges)
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(
+            labels.select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("cluster_id").alias("sem_cluster"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .withColumn("sem_cluster", F.coalesce("sem_cluster", "vec_id"))
+        .withColumn("keep", F.col("vec_id") == F.col("sem_cluster"))
+        .select("vec_id", "sem_cluster", "keep")
+    )

@@ -335,3 +335,78 @@ def domain_quota(
         .filter(F.col("rnk") <= int(k))
         .select("host", "doc_id", "rnk")
     )
+
+
+# mojibake repair table: the classic UTF-8-bytes-read-as-Windows-1252
+# sequences (ftfy's most common fixes, reduced to a fixed deterministic
+# list — no charset detection, so both engines apply the identical
+# rewrite). Multi-byte punctuation sequences first; no entry is a prefix
+# of a later entry's search key.
+MOJIBAKE = [
+    ("â€™", "’"),   # â€™ -> ’
+    ("â€˜", "‘"),   # â€˜ -> ‘
+    ("â€œ", "“"),   # â€œ -> “
+    ("â€", "”"),        # â€<9d> -> ” (9d is a C1 control)
+    ("â€“", "–"),   # â€“ -> –
+    ("â€”", "—"),   # â€” -> —
+    ("â€¦", "…"),   # â€¦ -> …
+    ("Ã©", "é"),         # Ã© -> é
+    ("Ã¨", "è"),         # Ã¨ -> è
+    ("Ã¡", "á"),         # Ã¡ -> á
+    ("Ã³", "ó"),         # Ã³ -> ó
+    ("Ãº", "ú"),         # Ãº -> ú
+    ("Ã±", "ñ"),         # Ã± -> ñ
+    ("Ã¤", "ä"),         # Ã¤ -> ä
+    ("Ã¶", "ö"),         # Ã¶ -> ö
+    ("Ã¼", "ü"),         # Ã¼ -> ü
+    ("ÃŸ", "ß"),         # ÃŸ -> ß
+    ("Â«", "«"),         # Â« -> «
+    ("Â»", "»"),         # Â» -> »
+    ("Â ", " "),              # Â<nbsp> -> space
+    (" ", " "),                    # bare nbsp -> space
+]
+
+# control chars to strip: C0 minus \t (09) and \n (0a); \r is rewritten
+# to \n BEFORE this class applies, and DEL (7f).
+_CTRL_RE = "[\\x00-\\x08\\x0b-\\x1f\\x7f]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Deterministic text normalization (the ftfy/clean-text curation
+    stage, reduced to engine-exact codegen): newline canonicalization
+    (\\r\\n|\\r -> \\n), C0/DEL control-char strip, fixed-table mojibake
+    repair, horizontal-whitespace collapse, whitespace trim around
+    newlines, blank-run collapse (3+ newlines -> 2), outer trim.
+
+    Reference analog: the per-type content filters normalize input before
+    dedup sees it (preproc_compress pcompress.c:207-402); here the filter
+    is textual and the invariant is the same — dedup keys are computed
+    over the NORMALIZED form so byte-level noise can't split a cluster.
+    All steps are plain replaces / RE2-and-Java-identical regexes; no
+    Python, no locale, no unicode tables."""
+    x = F.regexp_replace(text, "\\r\\n?", "\n")
+    x = F.regexp_replace(x, _CTRL_RE, "")
+    for bad, good in MOJIBAKE:
+        x = F.replace(x, F.lit(bad), F.lit(good))
+    x = F.regexp_replace(x, "[ \\t]+", " ")
+    x = F.regexp_replace(x, " ?\\n ?", "\n")
+    x = F.regexp_replace(x, "\\n{3,}", "\n\n")
+    return F.trim(x)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB twin of normalize_text: the same step chain wrapped around
+    `expr` (regexp_replace needs the 'g' flag there; replace() is global
+    in both engines). Kept beside the op so the chains stay in sync."""
+    x = f"regexp_replace({expr}, '\\r\\n?', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{_CTRL_RE}', '', 'g')"
+    for bad, good in MOJIBAKE:
+        x = f"replace({x}, {_sql_quote(bad)}, {_sql_quote(good)})"
+    x = f"regexp_replace({x}, '[ \\t]+', ' ', 'g')"
+    x = f"regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"
+    x = f"regexp_replace({x}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"trim({x})"

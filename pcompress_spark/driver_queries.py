@@ -446,6 +446,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.cosine_pairs_above(_emb(spark, sf_dir), COS_TAU)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup [Abbas et al. 2023] in its exact certifiable form:
+    embedding cosine graph (>= COS_TAU) -> connected components -> keep
+    only each component's min-id representative. The published
+    within-kmeans-cluster approximation is the IVF cell layout with the
+    same pair join — this exact form is the one a SQL oracle can check."""
+    return E.semantic_dedup(_emb(spark, sf_dir), COS_TAU)
+
+
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (the 100-TB scale path). Approximate by
     design — no SQL oracle; recall vs brute force is asserted in tests."""
@@ -883,6 +892,64 @@ def q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.rare_token_stats(d, rare_max=2)
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text normalization [the clean-text curation stage;
+    preproc filter analog, pcompress.c:207-402]: newline canonicalization,
+    control-char strip, fixed-table mojibake repair, whitespace collapse.
+    The synthetic corpus is clean, so corruption is planted on every
+    doc_id % 5 == 0 doc (mojibake prefix + a BEL control char) — those
+    rows come back changed, the rest pass through untouched."""
+    from pcompress_spark.analysis import webtext as WT
+
+    d = _docs(spark, sf_dir)
+    corrupted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("Ã©vÃ©nement â€” "), F.col("text"), F.lit("\x07")),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        WT.normalize_text(corrupted).alias("text_norm"),
+        (WT.normalize_text(corrupted) != corrupted).alias("changed"),
+    )
+
+
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal n-gram novelty [information-gain pruning signal;
+    the corpus-as-its-own-index dual of decontaminate]: per doc, the
+    fraction of its distinct token 8-grams first seen in this doc."""
+    from pcompress_spark.analysis import decontam as DC
+
+    return DC.novelty(_docs(spark, sf_dir), n=DC.DEFAULT_N)
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split [every training-data pipeline's
+    last step; splits BY CLUSTER so near-duplicates never straddle a
+    boundary — the reason the dedup graph must exist before splitting]:
+    the whole verified near-dup cluster lands in one split, assigned by
+    the exact Knuth-hash uniform of cluster_id (90/5/5)."""
+    from pcompress_spark.analysis import linedup as LD
+
+    labels = q_dedup_clusters(spark, sf_dir)
+    u = LD.sample_u(F.col("cluster_id"))
+    split = (
+        F.when(u < 0.9, F.lit("train"))
+        .when(u < 0.95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return labels.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user [event-time session operator —
+    the §2.8 streaming upgrade's stateful window, batch form]: Spark's
+    native session_window with a 30-minute gap; session_end = last event
+    + gap (Spark semantics, mirrored in the oracle's gaps-and-islands)."""
+    from pcompress_spark.streaming.ingest import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "exact_identity": q_exact_identity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -927,6 +994,11 @@ QUERIES = {
     "domain_quota": q_domain_quota,
     "vocab_stats": q_vocab_stats,
     "rare_token_stats": q_rare_token_stats,
+    "text_normalize": q_text_normalize,
+    "novelty_scores": q_novelty_scores,
+    "cluster_split": q_cluster_split,
+    "semantic_dedup": q_semantic_dedup,
+    "events_sessionize": q_events_sessionize,
 }
 
 
@@ -1728,4 +1800,146 @@ SELECT d.doc_id,
                        / CAST(p.n_tok AS DOUBLE) * 1e6 + 0.5) / 1e6
        END AS rare_frac
 FROM d LEFT JOIN p USING (doc_id)
+"""
+
+# text normalization: plant the same corruption, then the shared step
+# chain (webtext.normalize_text_sql is generated beside the Spark op so
+# the two chains cannot drift).
+from pcompress_spark.analysis.webtext import normalize_text_sql as _nts  # noqa: E402
+
+_CORRUPT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 "
+    "THEN 'Ã©vÃ©nement â€” ' || text || chr(7) ELSE text END"
+)
+ORACLES["text_normalize"] = f"""
+WITH c AS (SELECT doc_id, {_CORRUPT_SQL} AS raw FROM documents)
+SELECT doc_id, {_nts('raw')} AS text_norm,
+       {_nts('raw')} <> raw AS changed
+FROM c
+"""
+
+# n-gram novelty: the decontaminate gram domain, corpus-internal; first
+# occurrence = min doc_id per gram.
+ORACLES["novelty_scores"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[一-龥]|[^\s一-龥]+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 7, 0)),
+           i -> array_to_string(ws[i:i+7], ' '))) AS gs
+  FROM toks
+),
+occ AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM occ GROUP BY gram),
+p AS (SELECT occ.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN occ.doc_id = firsts.first_doc
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM occ JOIN firsts USING (gram) GROUP BY occ.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+            ELSE floor(CAST(p.n_novel AS DOUBLE)
+                       / CAST(p.n_grams AS DOUBLE) * 1e6 + 0.5) / 1e6
+       END AS novelty_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+# cluster-aware split: the dedup_clusters transitive closure, then the
+# exact Knuth-hash uniform of cluster_id -> 90/5/5.
+ORACLES["cluster_split"] = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+pairs AS (SELECT id_a, id_b FROM pairjac WHERE jaccard >= {TAU}),
+e(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a
+),
+cl AS (SELECT docs.doc_id,
+              least(docs.doc_id, coalesce(min(reach.b), docs.doc_id))
+                AS cluster_id
+       FROM documents docs LEFT JOIN reach ON reach.a = docs.doc_id
+       GROUP BY docs.doc_id),
+u AS (SELECT doc_id, cluster_id,
+             CAST((((cluster_id % 2147483648) + 2147483648) % 2147483648
+                   * 2654435761) % 4294967296 AS DOUBLE)
+             / 4294967296.0 AS uval
+      FROM cl)
+SELECT doc_id, cluster_id,
+       CASE WHEN uval < 0.9 THEN 'train'
+            WHEN uval < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+
+# semantic dedup: the exact cosine pair graph's transitive closure, rep =
+# component min vec_id, keep = representative rows only.
+ORACLES["semantic_dedup"] = f"""
+WITH RECURSIVE emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+p AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      floor((CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                  AND sqrt(list_dot_product(b.v, b.v)) > 0
+            THEN list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v)))
+            ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  ) WHERE cos_sim >= {COS_TAU}
+),
+e(a, b) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a
+),
+cl AS (SELECT emb.vec_id,
+              least(emb.vec_id, coalesce(min(reach.b), emb.vec_id))
+                AS sem_cluster
+       FROM emb LEFT JOIN reach ON reach.a = emb.vec_id
+       GROUP BY emb.vec_id)
+SELECT vec_id, sem_cluster, vec_id = sem_cluster AS keep FROM cl
+"""
+
+# sessionization: gaps-and-islands with a 30-minute gap; island cumsum
+# ordered by (ts, event_id) — equal-ts events land in one session either
+# way (gap 0), so the tie-break only pins the cumsum, not semantics.
+# A gap of EXACTLY 30 min starts a new session (>=): Spark's session
+# window is half-open [start, last+gap), so an event landing exactly on
+# the close boundary is outside it. session_end = max(ts) + 30 min ==
+# Spark's session_window end.
+ORACLES["events_sessionize"] = r"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, island
 """

@@ -778,6 +778,15 @@ class IncrementalDedupIndex:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
+    def _phase(self, name: str) -> None:
+        """Tag subsequent jobs (thread-inheritable) so the Spark UI / REST
+        API attributes per-phase wall to the batch sections — the floor
+        profile `scripts/incr_profile.py` reads these. Costless."""
+        try:
+            self.spark.sparkContext.setJobDescription(name)
+        except Exception:
+            pass
+
     def _add_batch_inner(self, pages: DataFrame) -> DataFrame:
         cfg, spark = self.cfg, self.spark
         with CacheScope():
@@ -797,6 +806,7 @@ class IncrementalDedupIndex:
             # three of them — sigs, classified, capped — plus the lazy
             # pre-CC cut; everything else is persist-backed and
             # materializes inside a job that was running anyway.
+            self._phase("incr:read-index")
             old_sigs = self._cur_sigs()
             old_keys = self._cur_keys()
             mm = self._merge_closure()
@@ -810,6 +820,7 @@ class IncrementalDedupIndex:
             # redelivered batch never pays an Arrow batch.
             from pyspark.sql import Window
 
+            self._phase("incr:identity")
             base = exact.base_ids(pages)
             shard_counts = (
                 base.groupBy(
@@ -856,6 +867,7 @@ class IncrementalDedupIndex:
             # crash-recoverable rather than merely idempotent.
             # ONE barrier materializes delegate-with-match `classified`;
             # recovery_ids / ident / fresh are cheap filters over it.
+            self._phase("incr:classify")
             if old_sigs is not None:
                 old_ident = old_sigs.select(
                     "text_sha", F.col("doc_id").alias("old_id")
@@ -893,6 +905,7 @@ class IncrementalDedupIndex:
             # full fused self-join over fresh ∪ touched and measured
             # barely faster than rerunning the corpus: on a
             # boilerplate-rich 100k corpus a 10k batch touches ~everything)
+            self._phase("incr:probe")
             bkeys = tracked_persist(
                 fused.fused_keyed_rows(fresh, cfg).select(
                     "doc_id", "ch", "key"
@@ -903,6 +916,7 @@ class IncrementalDedupIndex:
             # endpoints — prefilter (r==1 band-count mode) and the degree
             # cap need no row data; for r>1 prefilter recomputes overlap
             # from minhash arrays, so pull before filtering then
+            self._phase("incr:verify")
             fuzzy = tracked_persist(
                 self._verified_fuzzy(cands, fresh, old_sigs)
             )
@@ -911,6 +925,7 @@ class IncrementalDedupIndex:
             # endpoints relabeled to their resolved cluster ids (pruned
             # lookup: only the fuzzy endpoints' shards are read; its
             # shard-collect job is also what materializes `fuzzy`)
+            self._phase("incr:labels")
             eids = (
                 fuzzy.select(F.col("src").alias("doc_id"))
                 .unionByName(fuzzy.select(F.col("dst").alias("doc_id")))
@@ -990,6 +1005,7 @@ class IncrementalDedupIndex:
             # it is a completed batch (redelivery anti-joins to empty).
             # Recovery-path docs are excluded from the appends: their
             # sigs/keys are already in the index.
+            self._phase("incr:appends")
             from concurrent.futures import ThreadPoolExecutor
 
             # identity-membership links: every non-delegate batch doc ->

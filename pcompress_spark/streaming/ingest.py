@@ -240,3 +240,75 @@ def run_ingest_statestore(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# events-table schema for the sessionization stream (TESTDATA.md events)
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+SESSION_GAP = "30 minutes"
+
+
+def sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Gap-based session windows per user — Spark's NATIVE event-time
+    session operator (F.session_window), identical in batch and
+    streaming:
+
+      (user_id, session_start, session_end, n_events, value_cents)
+
+    session_end follows Spark's semantics: last event ts + gap. value is
+    aggregated in integer cents (floor(v*100+0.5) per row — the
+    events_hourly convention) so the oracle is drift-free. The reference
+    has no event-time operators (§2.8: pipe mode is sequential batch);
+    this is the §2.8 upgrade path's windowed-state operator, and the
+    session state is per-user — Spark partitions by the grouping key, so
+    a hot user bounds one task's state, not the stage."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    gap: str = SESSION_GAP,
+    watermark: str = "2 hours",
+    query_name: str = "sessions",
+):
+    """Streaming form of `sessionize`: the same session_window plan over
+    readStream with an event-time watermark bounding state. APPEND mode —
+    a session row emits once the watermark passes its close (the
+    exactly-once finalization semantics a downstream table wants);
+    sessions still open when the stream drains stay in state and do not
+    emit. One file per micro-batch so the watermark actually advances
+    across batches under the availableNow trigger. Returns the started
+    StreamingQuery; emitted rows at `SELECT * FROM <query_name>`."""
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    return (
+        sessionize(ev.withWatermark("ts", watermark), gap)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

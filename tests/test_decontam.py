@@ -92,3 +92,29 @@ def test_broadcast_index_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_novelty_known_answer(spark):
+    """n=2 grams: doc 1 'a b c' owns {a b, b c}; doc 2 'a b c d' re-uses
+    both and adds {c d} -> novelty 1/3; doc 3 repeats doc 1 exactly ->
+    0.0; doc 4 too short -> (0, 0, 0.0)."""
+    rows = [(1, "a b c"), (2, "a b c d"), (3, "a b c"), (4, "q")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in DC.novelty(docs, n=2).collect()}
+    assert (out[1].n_grams, out[1].n_novel, out[1].novelty_frac) == (2, 2, 1.0)
+    assert (out[2].n_grams, out[2].n_novel, out[2].novelty_frac) == (
+        3, 1, 0.333333
+    )
+    assert (out[3].n_grams, out[3].n_novel) == (2, 0)
+    assert (out[4].n_grams, out[4].n_novel, out[4].novelty_frac) == (0, 0, 0.0)
+
+
+def test_novelty_distinct_grams_per_doc(spark):
+    """A gram repeated within one doc counts once (array_distinct), and
+    the doc still owns it if no earlier doc has it."""
+    docs = spark.createDataFrame(
+        [(5, "x y x y x y")], "doc_id long, text string"
+    )
+    out = DC.novelty(docs, n=2).collect()[0]
+    # distinct 2-grams of [x y x y x y]: 'x y', 'y x' -> both novel
+    assert (out.n_grams, out.n_novel, out.novelty_frac) == (2, 2, 1.0)

@@ -107,3 +107,22 @@ def test_entry_smoke(spark):
     assert df.columns == ["doc_id", "cluster_id", "cluster_size", "is_representative"]
     n = df.count()
     assert n == 500
+
+
+def test_cluster_split_is_leakage_free(spark):
+    """Every member of a near-dup cluster lands in the SAME split (no
+    train/val contamination through duplicates), the split covers all
+    docs, and multi-member clusters exist so the property is non-vacuous."""
+    out = DQ.q_cluster_split(spark, SF).collect()
+    assert len(out) == 500
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(
+        len([r for r in out if r.cluster_id == c]) > 1 for c in by_cluster
+    )
+    # deterministic: same corpus -> same splits
+    again = {r.doc_id: r.split for r in DQ.q_cluster_split(spark, SF).collect()}
+    assert all(again[r.doc_id] == r.split for r in out)

@@ -99,3 +99,48 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.7, f"IVF ANN top-5 recall {recall:.3f}"
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Two planted cosine-tight groups + one isolate: members collapse to
+    the min-id rep, only reps keep=True, transitivity holds (a~b, b~c but
+    a,c farther still share a component)."""
+    from pcompress_spark.analysis.embeddings import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),     # ~1 via cosine
+        (3, [0.995, 0.0999, 0.0]),   # ~2 strongly, ~1 weaker (chain)
+        (10, [0.0, 1.0, 0.0]),       # second group
+        (11, [0.0, 0.999, 0.045]),
+        (99, [0.0, 0.0, 1.0]),       # isolate
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in semantic_dedup(emb, 0.99).collect()}
+    assert out[1].sem_cluster == 1 and out[1].keep
+    assert out[2].sem_cluster == 1 and not out[2].keep
+    assert out[3].sem_cluster == 1 and not out[3].keep   # transitive
+    assert out[10].sem_cluster == 10 and out[10].keep
+    assert out[11].sem_cluster == 10 and not out[11].keep
+    assert out[99].sem_cluster == 99 and out[99].keep
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """The pair stage stays a shuffle equi-join (block grid), never a
+    cartesian/BNLJ, even through the CC label join."""
+    from pcompress_spark.analysis.embeddings import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        semantic_dedup(emb, 0.95)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -124,3 +124,62 @@ def test_neardup_stream_matches_full_run(spark, pages_pdf, assignments_run,
     again = {r["doc_id"]: r["cluster_id"]
              for r in q3._index.assignments().collect()}
     assert again == got
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window (append mode, watermark-finalized) emits
+    exactly the batch sessionize answer for sessions the watermark
+    closed: real events in file 1, a far-future sentinel user in file 2
+    advances the watermark past every real session."""
+    import datetime as dt
+
+    from pcompress_spark.streaming import ingest as ING
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, ts_min, user, val):
+        return (i, t0 + dt.timedelta(minutes=ts_min), user, "click", val, "{}")
+
+    real = [
+        # user 1: two sessions (gap 45 > 30 between minute 10 and 55)
+        ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0), ev(3, 55, 1, 3.0),
+        # user 2: one session spanning a 29-minute gap (still merged)
+        ev(4, 5, 2, 4.0), ev(5, 34, 2, 5.0),
+    ]
+    # two sentinel batches: emission in batch N uses the watermark from
+    # batches < N, so sentinel 1 (+30 d) finalizes the real sessions and
+    # sentinel 2 (+60 d) guarantees a batch runs AFTER that watermark
+    # advanced (no reliance on a trailing no-data micro-batch).
+    sentinels = [[ev(99, 60 * 24 * 30, 999, 0.0)],
+                 [ev(100, 60 * 24 * 60, 999, 0.0)]]
+    landing = str(tmp_path / "landing")
+    schema = ING.EVENTS_SCHEMA
+    spark.createDataFrame(real, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    for s in sentinels:
+        spark.createDataFrame(s, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    q = ING.run_sessionize_stream(
+        spark, landing, watermark="2 hours", query_name="sess_test"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_cents)
+        for r in spark.sql(
+            "SELECT * FROM sess_test WHERE user_id != 999"
+        ).collect()
+    }
+    batch = ING.sessionize(spark.createDataFrame(real, schema))
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_cents)
+        for r in batch.collect()
+    }
+    assert want == got
+    # sanity on the batch shape itself
+    by_user = {}
+    for u, *_ in want:
+        by_user[u] = by_user.get(u, 0) + 1
+    assert by_user == {1: 2, 2: 1}

@@ -109,3 +109,35 @@ def test_run_dedup_bootstrap_then_increment_cli(spark, tmp_path) -> None:
     a2 = {r["doc_id"]: r["cluster_id"]
           for r in spark.read.parquet(out2).collect()}
     assert a2 == a1
+
+
+def test_run_dedup_curate_mode(spark, tmp_path, capsys) -> None:
+    """--mode curate writes curated pages + a drop report: normalized
+    text, quality drops logged by reason, cross-doc line dedup applied
+    (duplicate boilerplate lines removed corpus-wide)."""
+    import importlib
+    import json as _json
+
+    run_dedup = importlib.import_module("jobs.run_dedup")
+    out = str(tmp_path / "curated")
+
+    # >= 1000 docs: the generator plants its dup structure per 1000-doc
+    # block, so smaller corpora have no shared lines to remove
+    rc = run_dedup.main([
+        "--gen-docs", "1000", "--mode", "curate",
+        "--line-mode", "token_block", "--output", out,
+    ])
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("CURATERESULT ")
+    ][-1]
+    res = _json.loads(line.split(" ", 1)[1])
+    curated = spark.read.parquet(out)
+    assert curated.count() == res["docs_out"] > 0
+    assert "text" in curated.columns and "n_lines_removed" in curated.columns
+    # the generated corpus plants exact/near dups -> shared token blocks
+    # exist, so the corpus-wide line dedup must remove some lines
+    assert res["lines_removed"] > 0
+    report = {r["reason"] for r in spark.read.parquet(out + "_report").collect()}
+    assert "ok" in report

@@ -299,3 +299,66 @@ def test_domain_quota_k_exceeds_host_size(spark):
     got = {(r.doc_id, r.rnk)
            for r in WT.domain_quota(_quota_pages(spark, rows), k=10).collect()}
     assert got == {(2, 1), (1, 2)}
+
+
+def test_normalize_text_known_answers(spark):
+    """Mojibake repair + control strip + whitespace canon, hand-checked."""
+    rows = [
+        (1, "cafÃ©\x07 rÃ¨gle"),              # mojibake + BEL
+        (2, "a\r\nb\rc"),                      # CRLF/CR -> LF
+        (3, "x  \t y"),                        # tab/space runs
+        (4, "p\n\n\n\nq"),                     # blank-run collapse
+        (5, "  said â€œhiâ€¦â€\x9d ok  "),   # quotes/ellipsis + C1 strip
+        (6, "keep\nplain text"),               # already clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", WT.normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert got[1] == "café règle"
+    assert got[2] == "a\nb\nc"
+    assert got[3] == "x y"
+    assert got[4] == "p\n\nq"
+    assert got[5] == "said “hi…” ok"  # â€<9d> -> ” via the 9d table entry
+    assert got[6] == "keep\nplain text"
+
+
+def test_normalize_text_sql_twin_matches(spark):
+    """The generated DuckDB chain produces byte-identical output to the
+    Spark op on an adversarial sample (the driver-oracle contract)."""
+    import duckdb
+
+    import random
+
+    frags = [
+        "Ã©", "Ã", "©", "â€", "â€œ", "â€\x9d", "â€”", "Â«", "Â", "\xa0",
+        "Â\xa0", " ", "  ", "\t", "\r\n", "\r", "\n", "\n\n\n", "\x07",
+        "\x1f", "\x7f", "word", "ÃŸ", "€", "â", "…", "â€¦",
+    ]
+    rng = random.Random(42)   # deterministic fuzz corpus
+    rows = [
+        (1, "cafÃ©\x07\tâ€” x\r\ny  z\n\n\n\nend Â« quoted Â»"),
+        (2, "plain"),
+        (3, ""),
+    ] + [
+        (10 + i, "".join(rng.choice(frags) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", WT.normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = f"SELECT doc_id, {WT.normalize_text_sql('text')} AS norm FROM t"
+    want = {int(a): b for a, b in con.execute(sql).fetchall()}
+    assert got == want
