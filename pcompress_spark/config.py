@@ -97,6 +97,12 @@ class PipelineConfig:
                                      # is unaffected). Drops are logged,
                                      # never silent (A7 bounded index,
                                      # rabin/global/index.c:539-547 analog)
+    packed_bucket_keys: bool = True  # fused candidate path packs (ch, key)
+                                     # into one long (channel in the low 2
+                                     # bits) so every candidate-stage
+                                     # exchange ships/sorts 1 key column
+                                     # instead of 2; False = the unpacked
+                                     # r3 layout (A/B lever)
     curation_gate: bool = False      # run the webtext keep/drop gate
                                      # (analysis/webtext.quality_gate)
                                      # ahead of signatures: rejected docs

@@ -164,22 +164,66 @@ def _fused_impl(
     reps: DataFrame, cfg: PipelineConfig, min_matches: int | None
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     rows = fused_keyed_rows(reps, cfg)
-    pairs, hot = bucket_pairs(
-        rows,
-        ["ch", "key"],
-        cap=cfg.max_bucket_docs,
-        salt_min=cfg.salt_min,
-        salt_groups=cfg.salt_buckets,
-        carry=["ch"],
-    )
-    # rows was persisted inside bucket_pairs (same plan -> cache hit here)
-    hot_mh = hot.filter(F.col("ch") == CH_MINHASH).select("key")
-    hot_docs = tracked_persist(
-        rows.filter(F.col("ch") == CH_MINHASH)
-        .join(hot_mh, "key", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("key").alias("_hk"))
-    )
+    if cfg.packed_bucket_keys:
+        # pack (ch, key) into ONE long: channel in the low 2 bits, key
+        # shifted up 2 (its top 2 bits drop — it is a hash, and the
+        # within-channel collision odds move from 2^-64 to 2^-62; the
+        # candidate superset is verified downstream either way). Every
+        # candidate-stage exchange then ships and sorts one 8-byte key
+        # instead of (tinyint, long) — measured as the 2->8-core
+        # efficiency sink on memory-bandwidth-limited boxes
+        # (BENCH_SCALING r4: candidates stage 0.67-0.69 vs >=0.93
+        # elsewhere). Cross-channel collisions stay impossible: the ch
+        # bits differ.
+        keyed = rows.select(
+            "doc_id",
+            F.shiftleft("key", 2)
+            .bitwiseOR(F.col("ch").cast("long"))
+            .alias("k2"),
+        )
+        pairs, hotp = bucket_pairs(
+            keyed,
+            ["k2"],
+            cap=cfg.max_bucket_docs,
+            salt_min=cfg.salt_min,
+            salt_groups=cfg.salt_buckets,
+            carry=["k2"],
+        )
+        _ch2 = F.col("k2").bitwiseAND(F.lit(3)).cast("tinyint")
+        pairs = pairs.withColumn("ch", _ch2).drop("k2")
+        # unpack for the hot log's public (ch, key, n_docs) shape; the
+        # logged key is the low-62-bit remnant (opaque bucket id)
+        hot = hotp.select(
+            _ch2.alias("ch"),
+            F.shiftrightunsigned("k2", 2).alias("key"),
+            "n_docs",
+        )
+        hot_mh_k2 = hotp.filter(
+            F.col("k2").bitwiseAND(F.lit(3)) == CH_MINHASH
+        ).select("k2")
+        hot_docs = tracked_persist(
+            keyed.filter(F.col("k2").bitwiseAND(F.lit(3)) == CH_MINHASH)
+            .join(hot_mh_k2, "k2", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("k2").alias("_hk"))
+        )
+    else:
+        pairs, hot = bucket_pairs(
+            rows,
+            ["ch", "key"],
+            cap=cfg.max_bucket_docs,
+            salt_min=cfg.salt_min,
+            salt_groups=cfg.salt_buckets,
+            carry=["ch"],
+        )
+        # rows was persisted inside bucket_pairs (same plan -> cache hit)
+        hot_mh = hot.filter(F.col("ch") == CH_MINHASH).select("key")
+        hot_docs = tracked_persist(
+            rows.filter(F.col("ch") == CH_MINHASH)
+            .join(hot_mh, "key", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("key").alias("_hk"))
+        )
     # metadata-scale action (docs in over-cap buckets); gates the
     # broadcast so a boilerplate-degenerate corpus degrades to a shuffle
     # join instead of an oversized broadcast

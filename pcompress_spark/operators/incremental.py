@@ -773,6 +773,11 @@ class IncrementalDedupIndex:
         if self._known_exclude is None:  # inside update_batch the marker is ours
             self._check_inflight()
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        # NOTE (measured, r4): disabling AQE for the batch window was
+        # tried to cut the ~170-small-job driver overhead and made the
+        # batch 2.6x SLOWER (labels phase 13.5s -> 333s job-wall): AQE's
+        # exchange reuse dedups the repeated subplan references that the
+        # batch's single lazy tree creates. Keep AQE on.
         try:
             return self._add_batch_inner(pages)
         finally:

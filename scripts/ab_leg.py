@@ -33,7 +33,10 @@ def main() -> None:
         if "--input" in sys.argv
         else f"/tmp/scale_input_{docs}"
     )
-    cfg = PipelineConfig(fused_channels="--legacy" not in sys.argv)
+    cfg = PipelineConfig(
+        fused_channels="--legacy" not in sys.argv,
+        packed_bucket_keys="--unpacked" not in sys.argv,
+    )
     extra = {}
     if "--eventlog" in sys.argv:
         evdir = f"/tmp/spark-events-{cores}"
@@ -61,7 +64,10 @@ def main() -> None:
     pipe = DedupPipeline(spark, cfg, checkpoint_dir=ckpt, resume=False)
     rows = pipe.run(pages).count()
     wall = time.time() - t0
-    print(f"== cores={cores} fused={cfg.fused_channels} wall={wall:.1f}s rows={rows}")
+    print(
+        f"== cores={cores} fused={cfg.fused_channels} "
+        f"packed={cfg.packed_bucket_keys} wall={wall:.1f}s rows={rows}"
+    )
     for rec in pipe.ckpt.lineage():
         print("  " + json.dumps(rec))
     # edge count from the checkpointed table (metadata-only)

@@ -43,7 +43,9 @@ def main() -> int:
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
 
-    spark = get_spark("incr-profile", master=f"local[{cpus}]")
+    spark = get_spark(
+        "incr-profile", master=f"local[{cpus}]", extra_conf={"spark.ui.enabled": "true"}
+    )
     sc = spark.sparkContext
     ui = sc.uiWebUrl
     if not ui:
