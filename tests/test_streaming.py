@@ -183,3 +183,52 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     for u, *_ in want:
         by_user[u] = by_user.get(u, 0) + 1
     assert by_user == {1: 2, 2: 1}
+
+
+def test_stateful_sessionize_matches_builtin(spark, tmp_path):
+    """The custom applyInPandasWithState sessionizer emits EXACTLY the
+    built-in session_window's batch answer for watermark-closed sessions
+    — same layout as the built-in streaming test (real file, then two
+    sentinel batches advancing the watermark)."""
+    import datetime as dt
+
+    from pcompress_spark.streaming import ingest as ING
+    from pcompress_spark.streaming import stateful as ST
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(i, ts_min, user, val):
+        return (i, t0 + dt.timedelta(minutes=ts_min), user, "click", val, "{}")
+
+    real = [
+        ev(1, 0, 1, 1.25), ev(2, 10, 1, 2.0), ev(3, 55, 1, 3.5),
+        ev(4, 5, 2, 4.0), ev(5, 34, 2, 5.75),
+        ev(6, 7, 3, 0.333),
+    ]
+    sentinels = [[ev(99, 60 * 24 * 30, 999, 0.0)],
+                 [ev(100, 60 * 24 * 60, 999, 0.0)]]
+    landing = str(tmp_path / "landing_st")
+    schema = ING.EVENTS_SCHEMA
+    spark.createDataFrame(real, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    for s in sentinels:
+        spark.createDataFrame(s, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    q = ST.run_sessionize_stateful_stream(
+        spark, landing, watermark="2 hours", query_name="sess_custom"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_cents)
+        for r in spark.sql(
+            "SELECT * FROM sess_custom WHERE user_id != 999"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_cents)
+        for r in ING.sessionize(spark.createDataFrame(real, schema)).collect()
+    }
+    assert want == got and len(want) == 4
