@@ -950,6 +950,106 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"))
 
 
+def q_media_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-domain fixed-block dedup [P2/J1 in the reference's native
+    domain — pcompress chunks raw bytes, not characters]: the doc's UTF-8
+    byte stream is cut at 64-BYTE offsets (hex-domain slicing, 128 hex
+    chars per block, identical in both engines) and identical blocks
+    dedup corpus-wide. On CJK docs the byte grid lands mid-codepoint, so
+    this is measurably different from the char-domain `fixed_blocks` —
+    the char/byte distinction is exactly the reference's territory."""
+    return byte_blocks(_docs(spark, sf_dir))
+
+
+def byte_blocks(docs: DataFrame, block_bytes: int = 64) -> DataFrame:
+    """Fixed BYTE-grid block dedup over docs(doc_id, text): the UTF-8
+    byte stream sliced at `block_bytes` offsets via hex-domain substring
+    (2 hex chars per byte — exact byte offsets in both engines), sha256
+    per block, corpus-wide identity rollup."""
+    w = 2 * int(block_bytes)
+    d = docs.filter(F.length("text") > 0)
+    hexed = d.select(
+        "doc_id", F.hex(F.col("text").cast("binary")).alias("hx")
+    )
+    nblk = F.ceil(F.length("hx") / F.lit(float(w))).cast("int")
+    blocks = hexed.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.sha2(F.substring("hx", i * w + 1, w), 256),
+            )
+        ).alias("block_sha"),
+    )
+    return blocks.groupBy("block_sha").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup report [the reference's compression-ratio stats, A4
+    pcompress.c:175-195, re-targeted at documents]: one row per dedup
+    tier with the docs it affects, the UTF-8 bytes it would save, and the
+    saved fraction of total corpus bytes (1e-6-floor-rounded).
+
+      tier='exact'  docs whose sha equals an earlier doc (whole doc saved)
+      tier='near'   non-exact members of a verified near-dup cluster with
+                    an earlier rep (whole doc saved on drop-policy)
+      tier='line'   bytes of corpus-duplicate 12-token blocks removed by
+                    cross-doc line dedup (sub-document savings)
+
+    Tiers are reported independently (line overlaps near by design —
+    summing them would double-count, so no total row is emitted)."""
+    from pcompress_spark.analysis import linedup as LD
+
+    docs = _docs(spark, sf_dir)
+    nbytes = F.octet_length("text")
+    total = docs.agg(F.sum(nbytes).cast("long").alias("_t"))
+
+    sha = docs.select("doc_id", nbytes.alias("_b"), F.sha2("text", 256).alias("s"))
+    reps = sha.groupBy("s").agg(F.min("doc_id").alias("_rep"))
+    ex = sha.join(reps, "s").withColumn("_is_exact", F.col("_rep") < F.col("doc_id"))
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    j = ex.join(clusters, "doc_id")
+    exact_row = j.filter("_is_exact").agg(
+        F.lit("exact").alias("tier"),
+        F.count(F.lit(1)).cast("long").alias("docs_affected"),
+        F.coalesce(F.sum("_b"), F.lit(0)).cast("long").alias("bytes_saved"),
+    )
+    near_row = j.filter(
+        (~F.col("_is_exact")) & (F.col("cluster_id") < F.col("doc_id"))
+    ).agg(
+        F.lit("near").alias("tier"),
+        F.count(F.lit(1)).cast("long").alias("docs_affected"),
+        F.coalesce(F.sum("_b"), F.lit(0)).cast("long").alias("bytes_saved"),
+    )
+    marked = LD.first_occurrence(
+        LD.doc_lines(docs, mode="token_block", block_tokens=12)
+    ).filter(~F.col("keep"))
+    line_row = marked.agg(
+        F.lit("line").alias("tier"),
+        F.countDistinct("doc_id").cast("long").alias("docs_affected"),
+        F.coalesce(F.sum(F.octet_length("line")), F.lit(0)).cast("long").alias(
+            "bytes_saved"
+        ),
+    )
+    from pcompress_spark.analysis.webtext import _frac6
+
+    return (
+        exact_row.unionByName(near_row).unionByName(line_row)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tier",
+            "docs_affected",
+            "bytes_saved",
+            _frac6(F.col("bytes_saved"), F.col("_t")).alias("saved_frac"),
+        )
+    )
+
+
 QUERIES = {
     "exact_identity": q_exact_identity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -999,6 +1099,8 @@ QUERIES = {
     "cluster_split": q_cluster_split,
     "semantic_dedup": q_semantic_dedup,
     "events_sessionize": q_events_sessionize,
+    "media_blocks": q_media_blocks,
+    "dedup_report": q_dedup_report,
 }
 
 
@@ -1942,4 +2044,83 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
 FROM s GROUP BY user_id, island
+"""
+
+# byte-domain fixed blocks: hex(utf8 bytes), 128-hex-char (= 64-byte)
+# grid, sha256 per block. DuckDB's sha256 takes VARCHAR/BLOB — the hex
+# SUBSTRING is a VARCHAR in both engines, so hashes agree byte-for-byte.
+ORACLES["media_blocks"] = r"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+  WHERE length(text) > 0
+),
+b AS (
+  SELECT doc_id,
+         sha256(substring(hx, CAST(i * 128 + 1 AS BIGINT), 128)) AS block_sha
+  FROM h, unnest(range(0, CAST(ceil(length(hx) / 128.0) AS BIGINT))) t(i)
+)
+SELECT block_sha,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS rep_doc
+FROM b GROUP BY block_sha
+"""
+
+# dedup report: per-tier docs/bytes/fraction. Tier rules mirror
+# dedup_tiers; line bytes come from the paragraph_dedup line frame.
+ORACLES["dedup_report"] = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+pairs AS (SELECT id_a, id_b FROM pairjac WHERE jaccard >= {TAU}),
+e(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a
+),
+cl AS (SELECT docs.doc_id,
+              least(docs.doc_id, coalesce(min(reach.b), docs.doc_id))
+                AS cluster_id
+       FROM documents docs LEFT JOIN reach ON reach.a = docs.doc_id
+       GROUP BY docs.doc_id),
+shab AS (SELECT doc_id, octet_length(encode(text)) AS b, sha256(text) AS s
+       FROM documents),
+repx AS (SELECT s, min(doc_id) AS rep FROM shab GROUP BY s),
+exf AS (SELECT shab.doc_id, shab.b, repx.rep < shab.doc_id AS is_exact
+       FROM shab JOIN repx USING (s)),
+jx AS (SELECT exf.doc_id, exf.b, exf.is_exact, cl.cluster_id
+       FROM exf JOIN cl USING (doc_id)),
+t AS (SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) AS tot FROM documents),
+lw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       FROM documents),
+ln AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 12.0) AS INT) AS nblk FROM lw),
+ll AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              array_to_string(ws[(CAST(i AS INT)*12+1):((CAST(i AS INT)+1)*12)],
+                              ' ') AS line
+       FROM ln, unnest(range(0, nblk)) q(i)),
+lk AS (SELECT doc_id, pos, line,
+              row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+                AS keep
+       FROM ll),
+rows_ AS (
+  SELECT 'exact' AS tier,
+         CAST(count(*) AS BIGINT) AS docs_affected,
+         CAST(coalesce(sum(b), 0) AS BIGINT) AS bytes_saved
+  FROM jx WHERE is_exact
+  UNION ALL
+  SELECT 'near',
+         CAST(count(*) AS BIGINT),
+         CAST(coalesce(sum(b), 0) AS BIGINT)
+  FROM jx WHERE NOT is_exact AND cluster_id < doc_id
+  UNION ALL
+  SELECT 'line',
+         CAST(count(DISTINCT doc_id) AS BIGINT),
+         CAST(coalesce(sum(octet_length(encode(line))), 0) AS BIGINT)
+  FROM lk WHERE NOT keep
+)
+SELECT tier, docs_affected, bytes_saved,
+       CASE WHEN tot = 0 THEN 0.0
+            ELSE floor(CAST(bytes_saved AS DOUBLE) / CAST(tot AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6 END AS saved_frac
+FROM rows_, t
 """

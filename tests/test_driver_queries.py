@@ -126,3 +126,46 @@ def test_cluster_split_is_leakage_free(spark):
     # deterministic: same corpus -> same splits
     again = {r.doc_id: r.split for r in DQ.q_cluster_split(spark, SF).collect()}
     assert all(again[r.doc_id] == r.split for r in out)
+
+
+def test_media_blocks_byte_domain(spark):
+    """Byte-grid semantics: block count == sum(ceil(utf8_bytes/64)) on
+    the sf corpus, and on REAL multi-byte text (the synthetic corpus is
+    ASCII throughout, lang labels notwithstanding) the byte grid emits
+    more blocks than the char grid and dedups identical byte streams."""
+    from pyspark.sql import functions as F
+
+    mb = DQ.q_media_blocks(spark, SF).agg(
+        F.sum("n_blocks").cast("long").alias("n")
+    ).collect()[0].n
+    want = DQ._docs(spark, SF).filter(F.length("text") > 0).agg(
+        F.sum(F.ceil(F.octet_length("text") / 64.0)).cast("long").alias("n")
+    ).collect()[0].n
+    assert mb == want > 0
+
+    # constructed CJK: 60 chars = 180 utf-8 bytes -> 1 char-block but 3
+    # byte-blocks; two identical docs share every block (dedup works)
+    zh = "深" * 60
+    docs = spark.createDataFrame(
+        [(1, zh), (2, zh), (3, "ascii " * 10)], "doc_id long, text string"
+    )
+    out = DQ.byte_blocks(docs).collect()
+    zh_blocks = [r for r in out if r.n_docs == 2]
+    assert len(zh_blocks) == 3          # 180 bytes / 64 -> 3 blocks
+    assert all(r.n_blocks == 2 and r.rep_doc == 1 for r in zh_blocks)
+
+
+def test_dedup_report_tiers(spark):
+    """Exact/near/line rows present; exact+near affected counts equal the
+    dedup_tiers verdicts; saved fractions are sane and line savings are
+    nonzero (the fixture plants cross-doc duplication)."""
+    rep = {r.tier: r for r in DQ.q_dedup_report(spark, SF).collect()}
+    assert set(rep) == {"exact", "near", "line"}
+    tiers = DQ.q_dedup_tiers(spark, SF).collect()
+    n_exact = sum(1 for r in tiers if r.tier == "exact")
+    n_near = sum(1 for r in tiers if r.tier == "near")
+    assert rep["exact"].docs_affected == n_exact
+    assert rep["near"].docs_affected == n_near
+    assert rep["line"].bytes_saved > 0
+    for r in rep.values():
+        assert 0.0 <= r.saved_frac < 1.0
