@@ -1050,6 +1050,40 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile [A4 stats agg: the reference's
+    min/max/avg chunk statistics (pcompress.c:175-195) as a data-profile
+    op]: doc counts, token mass, and EXACT interpolated length
+    percentiles (Spark `percentile` and DuckDB `quantile_cont` share the
+    (n-1)p convention — verified bit-equal; 1e-6-floor-rounded)."""
+    from pcompress_spark.analysis.webtext import _frac6
+
+    d = _docs(spark, sf_dir)
+    ntok = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    chars = F.length("text")
+    p = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.min(chars).cast("long").alias("min_chars"),
+        F.percentile(chars, F.lit(0.5)).alias("_p50"),
+        F.percentile(chars, F.lit(0.95)).alias("_p95"),
+        F.max(chars).cast("long").alias("max_chars"),
+        F.sum(chars).cast("long").alias("_sum_chars"),
+    )
+    return p.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "min_chars",
+        _frac6(F.col("_p50"), F.lit(1)).alias("p50_chars"),
+        _frac6(F.col("_p95"), F.lit(1)).alias("p95_chars"),
+        "max_chars",
+        _frac6(F.col("_sum_chars"), F.col("n_docs")).alias("avg_chars"),
+    )
+
+
 QUERIES = {
     "exact_identity": q_exact_identity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1101,6 +1135,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "media_blocks": q_media_blocks,
     "dedup_report": q_dedup_report,
+    "corpus_profile": q_corpus_profile,
 }
 
 
@@ -2123,4 +2158,23 @@ SELECT tier, docs_affected, bytes_saved,
             ELSE floor(CAST(bytes_saved AS DOUBLE) / CAST(tot AS DOUBLE)
                        * 1e6 + 0.5) / 1e6 END AS saved_frac
 FROM rows_, t
+"""
+
+# per-lang profile: identical interpolated-percentile convention
+# (quantile_cont == Spark percentile, verified), frac6-rounded doubles.
+ORACLES["corpus_profile"] = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END) AS BIGINT) AS n_tokens,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       floor(quantile_cont(length(text), 0.5) * 1e6 + 0.5) / 1e6
+         AS p50_chars,
+       floor(quantile_cont(length(text), 0.95) * 1e6 + 0.5) / 1e6
+         AS p95_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars,
+       floor(CAST(sum(length(text)) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+         AS avg_chars
+FROM documents GROUP BY lang
 """

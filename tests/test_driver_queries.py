@@ -169,3 +169,13 @@ def test_dedup_report_tiers(spark):
     assert rep["line"].bytes_saved > 0
     for r in rep.values():
         assert 0.0 <= r.saved_frac < 1.0
+
+
+def test_corpus_profile_shape(spark):
+    """One row per lang; percentile ordering and count mass sanity."""
+    rows = DQ.q_corpus_profile(spark, SF).collect()
+    assert len(rows) == 5
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert r.min_chars <= r.p50_chars <= r.p95_chars <= r.max_chars
+        assert r.min_chars <= r.avg_chars <= r.max_chars
