@@ -181,7 +181,9 @@ def sample_u(doc_id: Column) -> Column:
     """Deterministic per-doc uniform u in [0, 1) — exact across engines.
 
     u = ((doc_id mod 2^31) * 2654435761 mod 2^32) / 2^32. The first mod
-    keeps the product under 2^62 (no int64 overflow — DuckDB raises on
+    keeps the product under 2^63, i.e. it fits signed int64: max is
+    (2^31-1)*2654435761 ≈ 5.7e18 < 2^63 ≈ 9.2e18 (no int64 overflow —
+    DuckDB raises on
     bigint overflow while Java wraps, so overflow-free arithmetic is the
     only cross-engine-safe kind), and the numerator is < 2^32, so the
     division is EXACT in a double: no rounding convention is needed for

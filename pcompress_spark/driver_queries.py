@@ -1827,8 +1827,10 @@ FROM m JOIN r ON m.cluster_id = r.cluster_id AND r.rn = 1
 
 # mixture sampling: the same weight arithmetic as mix_weights, then the
 # Knuth-hash stochastic rounding. pmod is emulated as ((x % m) + m) % m;
-# every intermediate stays under 2^62 (no bigint overflow — DuckDB raises
-# where Java wraps), and u's numerator < 2^32 makes u exact in a double.
+# every intermediate stays under 2^63, i.e. fits signed int64: max is
+# (2^31-1)*2654435761 ≈ 5.7e18 < 2^63 ≈ 9.2e18 (no bigint overflow —
+# DuckDB raises where Java wraps), and u's numerator < 2^32 makes u
+# exact in a double.
 ORACLES["mixture_sample"] = r"""
 WITH per AS (
   SELECT source,
@@ -2178,3 +2180,12 @@ SELECT lang,
          AS avg_chars
 FROM documents GROUP BY lang
 """
+
+# Queries whose Spark answer is INTENTIONALLY approximate (the ANN
+# paths): no value oracle BY DESIGN — each is certified instead by its
+# own green recall oracle row (`embedding_ann_recall`,
+# `embedding_ann_ivf_recall`). The contract guard asserts
+# QUERIES == ORACLES ∪ NO_ORACLE exactly, so a future query cannot land
+# silently oracle-less or a stale oracle outlive its query (r4 VERDICT
+# task #8: intentional vs accidental gaps are machine-distinguished).
+NO_ORACLE = frozenset({"embedding_ann_lsh", "embedding_ann_ivf"})

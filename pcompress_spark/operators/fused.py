@@ -191,8 +191,17 @@ def _fused_impl(
         )
         _ch2 = F.col("k2").bitwiseAND(F.lit(3)).cast("tinyint")
         pairs = pairs.withColumn("ch", _ch2).drop("k2")
-        # unpack for the hot log's public (ch, key, n_docs) shape; the
-        # logged key is the low-62-bit remnant (opaque bucket id)
+        # unpack for the hot log's public (ch, key, n_docs) shape.
+        # CAVEAT (r4 ADVICE): under packed keys the logged `key` is the
+        # LOW-62-BIT REMNANT of the original bucket key (its top 2 bits
+        # were dropped by the shiftleft pack), i.e. an OPAQUE bucket id —
+        # stable within a run for dedup/counting, but NOT equal to any
+        # channel's actual band/block/anchor key and NOT comparable
+        # across the packed/unpacked A/B lever or to incremental-index
+        # keys. Consumers must treat it as an identifier only; `ch` and
+        # `n_docs` remain exact. (Recovering the original key would take
+        # an extra full pass over the exploded rows frame — not worth it
+        # for a drop-accounting log.)
         hot = hotp.select(
             _ch2.alias("ch"),
             F.shiftrightunsigned("k2", 2).alias("key"),

@@ -298,7 +298,13 @@ class DedupPipeline:
     def _log_hot(self, channel: str, hot: DataFrame) -> None:
         """Persist the hot-bucket/drop log — drops are never silent.
         Logs are tiny (bucket keys / per-doc counts): coalesce the write
-        so it is a handful of tasks, not one per shuffle partition."""
+        so it is a handful of tasks, not one per shuffle partition.
+
+        Schema note: for the fused channel under `packed_bucket_keys`
+        the `key` column is an OPAQUE low-62-bit bucket id (see
+        operators/fused.py packed-path comment), not the channel's
+        actual band/block key — do not join it against index or
+        per-channel bucket keys."""
         hot.coalesce(8).write.mode("overwrite").parquet(
             self.ckpt.path(f"_hot_buckets_{channel}")
         )

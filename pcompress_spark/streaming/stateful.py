@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -39,16 +40,19 @@ OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, value_cents long"
 )
-# open sessions per user: event-time micros + running aggregates
+# open sessions per user: event-time micros + running aggregates.
+# `nn` counts non-null cents contributions so value_cents can emit null
+# when every value in the session was null — F.sum's semantics exactly.
 STATE_SCHEMA = (
-    "sessions array<struct<start:long,last:long,n:long,cents:long>>"
+    "sessions array<struct<start:long,last:long,n:long,cents:long,"
+    "nn:long>>"
 )
 
 
 def _merge_sessions(
-    sessions: list[tuple[int, int, int, int]], gap_us: int
-) -> list[tuple[int, int, int, int]]:
-    """Merge (start,last,n,cents) intervals whose gap is < gap_us —
+    sessions: list[tuple[int, int, int, int, int]], gap_us: int
+) -> list[tuple[int, int, int, int, int]]:
+    """Merge (start,last,n,cents,nn) intervals whose gap is < gap_us —
     half-open close semantics, identical to F.session_window (an event
     exactly at last+gap starts a NEW session)."""
     if not sessions:
@@ -58,7 +62,13 @@ def _merge_sessions(
     for s in sessions[1:]:
         p = out[-1]
         if s[0] - p[1] < gap_us:
-            out[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+            out[-1] = (
+                p[0],
+                max(p[1], s[1]),
+                p[2] + s[2],
+                p[3] + s[3],
+                p[4] + s[4],
+            )
         else:
             out.append(s)
     return out
@@ -71,7 +81,7 @@ def _session_func(gap_minutes: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        sessions: list[tuple[int, int, int, int]] = (
+        sessions: list[tuple[int, int, int, int, int]] = (
             [tuple(s) for s in state.get[0]] if state.exists else []
         )
         if not state.hasTimedOut:
@@ -83,12 +93,17 @@ def _session_func(gap_minutes: int):
                     pdf["ts"].astype("datetime64[us]").astype("int64")
                 )
                 # integer cents per row — the events_hourly convention,
-                # floor(v*100+0.5) on the same doubles both engines see
-                cents = (pdf["value"] * 100 + 0.5).apply(
-                    lambda v: int(v // 1)
+                # floor(v*100+0.5) on the same doubles both engines see.
+                # Null values stay NaN (F.floor(null) -> null) and
+                # contribute nothing to the sum, exactly like F.sum
+                # skipping nulls; the event still counts in n_events.
+                cents = np.floor(
+                    pdf["value"].to_numpy(dtype="float64") * 100 + 0.5
                 )
                 sessions.extend(
-                    (int(t), int(t), 1, int(c))
+                    (int(t), int(t), 1, 0, 0)
+                    if np.isnan(c)
+                    else (int(t), int(t), 1, int(c), 1)
                     for t, c in zip(ts_us, cents)
                 )
             sessions = _merge_sessions(sessions, gap_us)
@@ -117,7 +132,11 @@ def _session_func(gap_minutes: int):
                         [s[1] + gap_us for s in closed], unit="us"
                     ),
                     "n_events": [s[2] for s in closed],
-                    "value_cents": [s[3] for s in closed],
+                    # nullable Int64: all-null-value session -> null sum
+                    "value_cents": pd.array(
+                        [s[3] if s[4] > 0 else None for s in closed],
+                        dtype="Int64",
+                    ),
                 }
             )
 

@@ -32,6 +32,27 @@ def _api(base: str, path: str):
         return json.loads(r.read())
 
 
+def _parse_rest_ts(s: str):
+    """Tolerant parse of a Spark REST timestamp. The UI emits
+    `%Y-%m-%dT%H:%M:%S.%fGMT`; fall back to ISO-8601 variants rather
+    than silently zeroing the duration. Raises ValueError if no form
+    matches (counted by the caller)."""
+    from datetime import datetime
+
+    s = s.strip()
+    for suffix in ("GMT", "UTC", "Z"):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            break
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    # last resort: fromisoformat handles offsets like +00:00
+    return datetime.fromisoformat(s)
+
+
 def main() -> int:
     corpus = 50000
     batch = 10000
@@ -75,6 +96,7 @@ def main() -> int:
 
     phases: dict[str, dict[str, float]] = {}
     covered_ms = 0.0
+    parse_failures = 0
     for j in _api(base, "/jobs"):
         if j["jobId"] in jobs_before:
             continue
@@ -84,16 +106,14 @@ def main() -> int:
         comp = j.get("completionTime")
         dur = 0.0
         if sub and comp:
-            from datetime import datetime
-
-            fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
             try:
                 dur = (
-                    datetime.strptime(comp.replace("GMT", ""), fmt[:-2])
-                    - datetime.strptime(sub.replace("GMT", ""), fmt[:-2])
+                    _parse_rest_ts(comp) - _parse_rest_ts(sub)
                 ).total_seconds()
             except ValueError:
-                dur = 0.0
+                # count it — a silently-zeroed job duration inflates
+                # driver_gap_s with no trace (r4 ADVICE)
+                parse_failures += 1
         p = phases.setdefault(key, {"jobs": 0, "wall_s": 0.0})
         p["jobs"] += 1
         p["wall_s"] = round(p["wall_s"] + dur, 2)
@@ -105,6 +125,7 @@ def main() -> int:
         "add_batch_wall_s": round(wall, 1),
         "job_wall_sum_s": round(covered_ms, 1),
         "driver_gap_s": round(wall - covered_ms, 1),
+        "ts_parse_failures": parse_failures,
         "phases": dict(
             sorted(phases.items(), key=lambda kv: -kv[1]["wall_s"])
         ),

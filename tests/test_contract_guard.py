@@ -25,6 +25,25 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def test_registry_partition_is_exact():
+    """Every registered query has EITHER an oracle OR an explicit
+    NO_ORACLE allowlist membership — and nothing else exists. A query
+    landing without an oracle, an oracle outliving its query, or an
+    allowlisted name that is not a query all fail here, so intentional
+    vs accidental correctness gaps are machine-distinguished (the r4
+    `corpus_profile` sweep gap could not recur silently)."""
+    from pcompress_spark.driver_queries import NO_ORACLE
+
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert not (o & NO_ORACLE), sorted(o & NO_ORACLE)
+    assert q == o | NO_ORACLE, {
+        "query_without_oracle": sorted(q - o - NO_ORACLE),
+        "oracle_without_query": sorted(o - q),
+        "allowlisted_non_query": sorted(NO_ORACLE - q),
+    }
+
+
 def test_every_oracle_binds_in_duckdb():
     """EXPLAIN runs DuckDB's binder over zero-row views of the real
     schemas — any unknown column/function/CTE fails here, cheaply."""

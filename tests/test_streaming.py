@@ -204,6 +204,11 @@ def test_stateful_sessionize_matches_builtin(spark, tmp_path):
         ev(1, 0, 1, 1.25), ev(2, 10, 1, 2.0), ev(3, 55, 1, 3.5),
         ev(4, 5, 2, 4.0), ev(5, 34, 2, 5.75),
         ev(6, 7, 3, 0.333),
+        # null event values (r4 ADVICE crash case): F.sum skips the null
+        # but n_events counts it (user 1 session 1); an ALL-null session
+        # (user 4) must emit value_cents NULL, not 0
+        ev(7, 12, 1, None),
+        ev(8, 3, 4, None), ev(9, 20, 4, None),
     ]
     sentinels = [[ev(99, 60 * 24 * 30, 999, 0.0)],
                  [ev(100, 60 * 24 * 60, 999, 0.0)]]
@@ -231,4 +236,7 @@ def test_stateful_sessionize_matches_builtin(spark, tmp_path):
         (r.user_id, r.session_start, r.session_end, r.n_events, r.value_cents)
         for r in ING.sessionize(spark.createDataFrame(real, schema)).collect()
     }
-    assert want == got and len(want) == 4
+    assert want == got and len(want) == 5
+    # the all-null-value session really exercised the null-sum path
+    null_cents = [v for *_, v in want if v is None]
+    assert len(null_cents) == 1
