@@ -8,10 +8,14 @@ real work with no media library: magic-byte kind detection
 (`sniff_kind`, the analog of the reference's `detect_type_by_data`,
 pc_archive.c:110) and binary header field extraction (`parse_header`).
 
-What remains stubbed — clearly marked — is pixel/sample DATA decoding
-(`decode_samples`), which genuinely needs PIL/ffmpeg/soundfile; swapping it
-in changes one function, none of the plumbing. Reference analog overall:
-the per-file-type content filters (PackJPG / WavPack / PackPNM dispatch,
+Sample DATA decoding (`decode_samples`) is REAL for the uncompressed
+formats — WAV 16-bit PCM frames and 24-bit BMP pixel rows, pure
+struct/numpy — and certified end-to-end by the `media_decode_pcm` oracle
+row (the DuckDB oracle recomputes the int16 samples from the source
+bytes). Only the codec-bearing formats (PNG IDAT inflate, AVI streams)
+still raise NotImplementedError: those genuinely need PIL/ffmpeg, which
+this container lacks. Reference analog overall: the per-file-type
+content filters (PackJPG / WavPack / PackPNM dispatch,
 /root/reference/archive/pc_arc_filter.c and pcompress.c:207-402).
 """
 
@@ -63,6 +67,25 @@ def build_wav(n_frames: int, body: bytes, sample_rate: int = 16000) -> bytes:
         + struct.pack("<I", data_sz)
         + body
     )
+
+
+def build_bmp(pixels) -> bytes:
+    """Whole 24-bit uncompressed BMP from an (h, w, 3) RGB uint8 array —
+    bottom-up rows, 4-byte padded, BGR on disk (the format's native
+    layout). Round-trips exactly through decode_samples."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return hdr + info + data
 
 
 def build_avi(width: int, height: int, n_frames: int, body: bytes) -> bytes:
@@ -122,13 +145,76 @@ def parse_header(payload: bytes) -> tuple[str, int, int, int]:
     return ("unknown", 0, 0, 0)
 
 
-def decode_samples(payload: bytes) -> object:
-    """Actual pixel/sample decode — requires PIL/ffmpeg/soundfile, which are
-    not installed in this container. Header parsing above is real; only
-    the sample-data path is stubbed."""
+def decode_samples(payload: bytes):
+    """Pixel/sample decode for the UNCOMPRESSED container formats —
+    pure struct/numpy, no media library (r4 VERDICT task #6):
+
+    - WAV 16-bit PCM  -> np.ndarray int16, shape (n_frames, channels).
+      Decodes min(declared data size, bytes actually present) rounded
+      down to whole frames, so truncated payloads decode their prefix.
+    - BMP 24-bit uncompressed -> np.ndarray uint8, shape (h, w, 3) in
+      RGB order (BMP stores BGR bottom-up with 4-byte row padding; both
+      are undone here).
+
+    Compressed formats (PNG IDAT, AVI streams) genuinely need
+    PIL/ffmpeg and still raise — the stub has shrunk to exactly the
+    codec-bearing formats. Reference analog: filters/ payload
+    transforms dispatched per detected type
+    (/root/reference/archive/pc_arc_filter.c)."""
+    import numpy as np
+
+    kind = sniff_kind(payload)
+    if kind == "audio":
+        off = 12
+        channels, bits, block_align, fmt_tag = 1, 16, 2, 1
+        while off + 8 <= len(payload):
+            cid = payload[off : off + 4]
+            (sz,) = struct.unpack("<I", payload[off + 4 : off + 8])
+            if cid == b"fmt ":
+                fmt_tag, channels = struct.unpack(
+                    "<HH", payload[off + 8 : off + 12]
+                )
+                block_align, bits = struct.unpack(
+                    "<HH", payload[off + 20 : off + 24]
+                )
+            elif cid == b"data":
+                if fmt_tag != 1 or bits != 16:
+                    raise NotImplementedError(
+                        "only 16-bit PCM WAV is decoded without "
+                        "soundfile (got fmt=%d bits=%d)" % (fmt_tag, bits)
+                    )
+                start = off + 8
+                avail = len(payload) - start
+                ba = block_align or 2 * channels
+                take = (min(sz, avail) // ba) * ba
+                pcm = np.frombuffer(
+                    payload[start : start + take], dtype="<i2"
+                )
+                return pcm.reshape(-1, max(channels, 1))
+            off += 8 + sz + (sz & 1)
+        return np.zeros((0, 1), dtype="<i2")
+    if payload[:2] == b"BM":
+        # BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40), 24bpp BI_RGB
+        (data_off,) = struct.unpack("<I", payload[10:14])
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp, compression = struct.unpack("<HI", payload[28:34])
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                "only 24-bit uncompressed BMP is decoded without PIL"
+            )
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        px = raw[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            px = px[::-1]
+        return px[:, :, ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
-        "media sample decoding requires PIL/ffmpeg/soundfile; "
-        "header metadata extraction (parse_header) is fully implemented"
+        "sample decode for compressed formats (PNG/AVI) requires "
+        "PIL/ffmpeg; WAV PCM and 24-bit BMP decode natively"
     )
 
 
@@ -206,3 +292,51 @@ def decode_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             )
 
     return cols.mapInPandas(_decode, schema=MEDIA_SCHEMA)
+
+
+PCM_SCHEMA = (
+    "media_id long, n_samples long, sample_sum long, "
+    "sample_min int, sample_max int, pcm_checksum long"
+)
+
+
+def decode_pcm_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """(id, WAV payload) -> per-file aggregates of the ACTUAL decoded
+    int16 PCM samples via mapInPandas — the end-to-end sample-data path
+    (not header metadata): n_samples, signed sum/min/max, and a
+    position-weighted checksum sum(i * (s_i + 32768)) (1-based i; every
+    term < 2^16 * n so the BIGINT never overflows). Zero-sample files
+    emit sum/checksum 0 and NULL min/max (SQL aggregate semantics).
+    Partition-preserving, Arrow-batched, no shuffle."""
+    import numpy as np
+
+    cols = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def _pcm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, sums, mins, maxs, cks = [], [], [], [], []
+            for b in pdf["payload"]:
+                s = decode_samples(b if b is not None else b"").reshape(-1)
+                v = s.astype(np.int64)
+                ns.append(len(v))
+                sums.append(int(v.sum()))
+                mins.append(int(v.min()) if len(v) else None)
+                maxs.append(int(v.max()) if len(v) else None)
+                i = np.arange(1, len(v) + 1, dtype=np.int64)
+                cks.append(int((i * (v + 32768)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": ns,
+                    "sample_sum": sums,
+                    "sample_min": pd.array(mins, dtype="Int32"),
+                    "sample_max": pd.array(maxs, dtype="Int32"),
+                    "pcm_checksum": cks,
+                }
+            )
+
+    return cols.mapInPandas(_pcm, schema=PCM_SCHEMA)

@@ -486,6 +486,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_features(p, "doc_id", "payload")
 
 
+def q_media_decode_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media SAMPLE decode [F10 de-stub]: for every synthesized WAV
+    payload (docs whose utf-8 length ≡ 1 mod 3 — the payload_udf cycle),
+    decode the actual 16-bit PCM samples in mapInPandas (struct+numpy,
+    no media lib) and aggregate them per file. The oracle recomputes the
+    same samples from the document's utf-8 bytes via hex arithmetic, so
+    a green row certifies the decoder read the real little-endian
+    int16s — sample DATA, not just header metadata. Truncation rule:
+    min(declared data size, bytes present) whole frames. Reference
+    analog: per-type payload transforms (pc_arc_filter.c)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.octet_length("text") % 3 == 1
+    )
+    payload_udf = M.make_payload_udf()
+    p = d.select("doc_id", payload_udf("text").alias("payload"))
+    return M.decode_pcm_features(p, "doc_id", "payload")
+
+
 def q_reconstruct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-back audit [pcompress -d analog]: rebuild every identity-dup
     member's text from its representative (the only stored copy) and
@@ -1103,6 +1121,7 @@ QUERIES = {
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_ivf": q_embedding_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
+    "media_decode_pcm": q_media_decode_pcm,
     "reconstruct_audit": q_reconstruct_audit,
     "delta_spans": q_delta_spans,
     "lcs_spans": q_lcs_spans,
@@ -2179,6 +2198,42 @@ SELECT lang,
        floor(CAST(sum(length(text)) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
          AS avg_chars
 FROM documents GROUP BY lang
+"""
+
+# PCM sample decode: replay the WAV decode from the document's utf-8
+# bytes. Sample i (1-based) = little-endian int16 of blob bytes
+# (2i-1, 2i); hex(encode(text)) is uppercase, so each byte is two chars
+# decoded via strpos arithmetic (DuckDB cannot index BLOBs). Decoded
+# frame count = min(declared 2*(1+n%16) bytes, n available) // 2 —
+# the decoder's truncation rule exactly.
+ORACLES["media_decode_pcm"] = r"""
+WITH a AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) % 3 = 1
+),
+m AS (SELECT media_id, hx, least(2 * (1 + n % 16), n) // 2 AS m FROM a),
+s AS (
+  SELECT media_id, CAST(i AS BIGINT) AS i,
+         raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS v
+  FROM (
+    SELECT media_id, i,
+        (strpos('0123456789ABCDEF', substr(hx, CAST(4*i-3 AS INT), 1)) - 1) * 16
+      + (strpos('0123456789ABCDEF', substr(hx, CAST(4*i-2 AS INT), 1)) - 1)
+      + 256 * (
+          (strpos('0123456789ABCDEF', substr(hx, CAST(4*i-1 AS INT), 1)) - 1) * 16
+        + (strpos('0123456789ABCDEF', substr(hx, CAST(4*i   AS INT), 1)) - 1))
+        AS raw
+    FROM m, unnest(range(1, m + 1)) t(i))
+)
+SELECT m.media_id,
+       CAST(m.m AS BIGINT) AS n_samples,
+       CAST(coalesce(sum(s.v), 0) AS BIGINT) AS sample_sum,
+       CAST(min(s.v) AS INT) AS sample_min,
+       CAST(max(s.v) AS INT) AS sample_max,
+       CAST(coalesce(sum(s.i * (s.v + 32768)), 0) AS BIGINT) AS pcm_checksum
+FROM m LEFT JOIN s USING (media_id)
+GROUP BY m.media_id, m.m
 """
 
 # Queries whose Spark answer is INTENTIONALLY approximate (the ANN
