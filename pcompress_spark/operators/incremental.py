@@ -89,6 +89,12 @@ _LINK_SCHEMA = "doc_id long, parent_id long"
 # a doc's sig/key rows but not its identity children's link rows, etc.)
 _TBL = {"sigs": 0, "keys": 1, "assignments": 2, "links": 3}
 
+# update_batch broadcasts the changed-doc / affected-cluster id frames
+# only below this measured-count gate (~8 MB of longs); a full re-crawl
+# batch degrades to shuffle semi-joins instead of an oversized broadcast
+# — same defense shape as fused.HOT_DOCS_BROADCAST_MAX.
+_UPDATE_BROADCAST_MAX = 1_000_000
+
 
 class IncrementalDedupIndex:
     """Persisted dedup state + batch classification against it.
@@ -1164,19 +1170,22 @@ class IncrementalDedupIndex:
             changed = cls.filter(
                 F.col("_cur").isNotNull() & (F.col("_cur") != F.col("text_sha"))
             )
-            changed_ids = sorted(
-                r["doc_id"] for r in changed.select("doc_id").distinct().collect()
+            # changed-doc set stays a DataFrame end-to-end — no driver-
+            # side id list, so a FULL re-crawl (every url changed) is a
+            # join problem, not a driver OOM (r4 VERDICT task #3). The
+            # count is a 1-row metadata-scale action gating both the
+            # empty fast-path and the broadcast hint.
+            chdf = (
+                changed.select("doc_id").distinct().localCheckpoint(eager=True)
             )
-            if not changed_ids:
+            n_changed = chdf.count()
+            if n_changed == 0:
                 # nothing to upsert (or a healed re-run whose update
                 # already committed): clear any marker, ingest the rest
                 fs.delete(self._p("_update_inflight"))
                 return self.add_batch(pages)
-            chdf = F.broadcast(
-                spark.createDataFrame(
-                    [(d,) for d in changed_ids], "doc_id long"
-                )
-            )
+            if n_changed <= _UPDATE_BROADCAST_MAX:
+                chdf = F.broadcast(chdf)
             to_classify = (
                 cls.filter(
                     F.col("_cur").isNull()
@@ -1188,27 +1197,28 @@ class IncrementalDedupIndex:
 
             # ---- loud gate: marker up before any index write
             fs.delete(self._p("_update_inflight"))
-            spark.createDataFrame(
-                [(d,) for d in changed_ids], "doc_id long"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                self._p("_update_inflight")
-            )
+            chdf.select("doc_id").coalesce(
+                max(1, min(64, n_changed // 1_000_000 + 1))
+            ).write.mode("overwrite").parquet(self._p("_update_inflight"))
 
-            # ---- plan: affected clusters + members (committed state)
+            # ---- plan: affected clusters + members (committed state).
+            # Affected-cluster ids likewise stay distributed: a semi-join
+            # selects the members instead of an isin over a Python list.
             mm = self._merge_closure()
-            aff = [
-                r["cluster_id"]
-                for r in self._resolved_for(chdf, mm)
+            aff_df = (
+                self._resolved_for(chdf, mm)
                 .select("cluster_id")
                 .distinct()
-                .collect()
-            ]
+                .localCheckpoint(eager=True)
+            )
+            if aff_df.count() <= _UPDATE_BROADCAST_MAX:
+                aff_df = F.broadcast(aff_df)
             a_live = self._live("assignments")
             members = (
                 self._apply_closure(
                     a_live.select("doc_id", "cluster_id"), mm
                 )
-                .filter(F.col("cluster_id").isin(aff))
+                .join(aff_df, "cluster_id", "left_semi")
                 .select("doc_id")
                 .distinct()
                 .localCheckpoint(eager=True)
