@@ -256,23 +256,35 @@ def _fused_impl(
         .alias("_mh_cnt"),
         F.bit_or(flag).cast("int").alias("_fl"),
     )
-    ha = hot_docs.select(F.col("doc_id").alias("id_a"), F.col("_hk").alias("_hk_a"))
-    hb = hot_docs.select(F.col("doc_id").alias("id_b"), F.col("_hk").alias("_hk_b"))
-    if n_hot <= HOT_DOCS_BROADCAST_MAX:
-        ha, hb = F.broadcast(ha), F.broadcast(hb)
-    corrected = tracked_persist(
-        agg.join(ha, "id_a", "left")
-        .join(hb, "id_b", "left")
-        .withColumn(
-            "_mh_cnt",
-            F.col("_mh_cnt")
-            + F.when(
-                F.col("_hk_a").isNotNull() & F.col("_hk_b").isNotNull(),
-                F.size(F.array_intersect("_hk_a", "_hk_b")),
-            ).otherwise(F.lit(0)),
+    if n_hot == 0:
+        # no over-cap bucket anywhere (the common case away from
+        # boilerplate-degenerate corpora): the hot-key correction is
+        # identically zero — skip its two joins over the full pair
+        # frame rather than paying a no-op pass (r4 VERDICT task #4:
+        # candidate-stage fixed cost).
+        corrected = tracked_persist(agg)
+    else:
+        ha = hot_docs.select(
+            F.col("doc_id").alias("id_a"), F.col("_hk").alias("_hk_a")
         )
-        .drop("_hk_a", "_hk_b")
-    )
+        hb = hot_docs.select(
+            F.col("doc_id").alias("id_b"), F.col("_hk").alias("_hk_b")
+        )
+        if n_hot <= HOT_DOCS_BROADCAST_MAX:
+            ha, hb = F.broadcast(ha), F.broadcast(hb)
+        corrected = tracked_persist(
+            agg.join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .withColumn(
+                "_mh_cnt",
+                F.col("_mh_cnt")
+                + F.when(
+                    F.col("_hk_a").isNotNull() & F.col("_hk_b").isNotNull(),
+                    F.size(F.array_intersect("_hk_a", "_hk_b")),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hk_a", "_hk_b")
+        )
 
     def _has(bit: int):
         return F.col("_fl").bitwiseAND(F.lit(bit)) != 0
@@ -320,16 +332,29 @@ def _fused_impl(
         mh_overlap = F.when(_has(_FL_MH), F.col("_mh_cnt"))
     else:
         mh_overlap = F.lit(None)
+    sel = [
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("channels"),
+        mh_overlap.cast("int").alias("mh_overlap"),
+        _has(_FL_STAR).alias("is_star"),
+    ]
+    if cfg.lsh_rows != 1:
+        # r > 1: band co-occurrence is NOT signature overlap, so
+        # mh_overlap stays null — but the exact band-hit count is still
+        # a NECESSARY-condition floor (each co-occurring band certifies
+        # r agreeing signature positions), which the prefilter's screen
+        # uses to skip the array-shipping exact intersect for pairs that
+        # already provably pass (r4 VERDICT task #5).
+        sel.append(
+            F.when(_has(_FL_MH), F.col("_mh_cnt"))
+            .cast("int")
+            .alias("band_hits")
+        )
     out = (
         scored.withColumn("channels", channels)
         .filter(F.size("channels") > 0)
-        .select(
-            "id_a",
-            "id_b",
-            "channels",
-            mh_overlap.cast("int").alias("mh_overlap"),
-            _has(_FL_STAR).alias("is_star"),
-        )
+        .select(*sel)
     )
     if min_matches is None:
         return out, hot, None

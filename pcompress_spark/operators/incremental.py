@@ -565,6 +565,14 @@ class IncrementalDedupIndex:
                 F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep")
             )
         )
+        # metadata-scale gate (1-row agg over the persisted stats frame,
+        # which downstream materializes anyway): batch-scale probes
+        # usually have NO over-cap bucket, and skipping the star/hot-key
+        # machinery then removes ~5 shuffles from the per-batch floor.
+        # The over-cap path itself is byte-identical when taken.
+        n_hot = stats.filter(
+            F.col("_n") > cfg.max_bucket_docs
+        ).count()
         joined = rows.join(stats, ["ch", "key"])
         incap = joined.filter(F.col("_n") <= cfg.max_bucket_docs).select(
             "ch", "key", "doc_id"
@@ -587,22 +595,24 @@ class IncrementalDedupIndex:
             .distinct()  # fresh-fresh pairs arrive once from each side
             .withColumn("is_star", F.lit(False))
         )
-        hotj = joined.filter(F.col("_n") > cfg.max_bucket_docs)
-        star_all = hotj.filter(F.col("doc_id") != F.col("_rep")).select(
-            "ch",
-            "key",
-            F.least("doc_id", "_rep").alias("id_a"),
-            F.greatest("doc_id", "_rep").alias("id_b"),
-        )
-        fa = fresh.select(F.col("doc_id").alias("id_a"))
-        fb = fresh.select(F.col("doc_id").alias("id_b"))
-        star = (
-            star_all.join(fa, "id_a", "left_semi")
-            .unionByName(star_all.join(fb, "id_b", "left_semi"))
-            .distinct()
-            .withColumn("is_star", F.lit(True))
-        )
-        agg = pr.unionByName(star).groupBy("id_a", "id_b").agg(
+        if n_hot > 0:
+            hotj = joined.filter(F.col("_n") > cfg.max_bucket_docs)
+            star_all = hotj.filter(F.col("doc_id") != F.col("_rep")).select(
+                "ch",
+                "key",
+                F.least("doc_id", "_rep").alias("id_a"),
+                F.greatest("doc_id", "_rep").alias("id_b"),
+            )
+            fa = fresh.select(F.col("doc_id").alias("id_a"))
+            fb = fresh.select(F.col("doc_id").alias("id_b"))
+            star = (
+                star_all.join(fa, "id_a", "left_semi")
+                .unionByName(star_all.join(fb, "id_b", "left_semi"))
+                .distinct()
+                .withColumn("is_star", F.lit(True))
+            )
+            pr = pr.unionByName(star)
+        agg = pr.groupBy("id_a", "id_b").agg(
             F.sum(
                 F.when(
                     (F.col("ch") == CH_MINHASH) & ~F.col("is_star"), 1
@@ -618,30 +628,39 @@ class IncrementalDedupIndex:
             ),
         )
         # exact band count under the star downgrade: add the shared
-        # over-cap minhash bucket keys back (operators/fused.py:86-98)
-        hot_mh = stats.filter(
-            (F.col("_n") > cfg.max_bucket_docs) & (F.col("ch") == CH_MINHASH)
-        ).select("ch", "key")
-        hot_docs = (
-            rows.join(hot_mh, ["ch", "key"], "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_set("key").alias("_hk"))
-        )
-        ha = hot_docs.select(F.col("doc_id").alias("id_a"), F.col("_hk").alias("_hk_a"))
-        hb = hot_docs.select(F.col("doc_id").alias("id_b"), F.col("_hk").alias("_hk_b"))
-        agg = (
-            agg.join(ha, "id_a", "left")
-            .join(hb, "id_b", "left")
-            .withColumn(
-                "_mh_cnt",
-                F.col("_mh_cnt")
-                + F.when(
-                    F.col("_hk_a").isNotNull() & F.col("_hk_b").isNotNull(),
-                    F.size(F.array_intersect("_hk_a", "_hk_b")),
-                ).otherwise(F.lit(0)),
+        # over-cap minhash bucket keys back (operators/fused.py:86-98).
+        # Skipped entirely when no bucket is over cap (n_hot gate) — the
+        # correction is then identically zero.
+        if n_hot > 0:
+            hot_mh = stats.filter(
+                (F.col("_n") > cfg.max_bucket_docs)
+                & (F.col("ch") == CH_MINHASH)
+            ).select("ch", "key")
+            hot_docs = (
+                rows.join(hot_mh, ["ch", "key"], "left_semi")
+                .groupBy("doc_id")
+                .agg(F.collect_set("key").alias("_hk"))
             )
-            .drop("_hk_a", "_hk_b")
-        )
+            ha = hot_docs.select(
+                F.col("doc_id").alias("id_a"), F.col("_hk").alias("_hk_a")
+            )
+            hb = hot_docs.select(
+                F.col("doc_id").alias("id_b"), F.col("_hk").alias("_hk_b")
+            )
+            agg = (
+                agg.join(ha, "id_a", "left")
+                .join(hb, "id_b", "left")
+                .withColumn(
+                    "_mh_cnt",
+                    F.col("_mh_cnt")
+                    + F.when(
+                        F.col("_hk_a").isNotNull()
+                        & F.col("_hk_b").isNotNull(),
+                        F.size(F.array_intersect("_hk_a", "_hk_b")),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("_hk_a", "_hk_b")
+            )
         # hamming confirm for simhash-proposed pairs (stored sketches,
         # pulled for pair endpoints only — never a full-corpus shuffle)
         agg = tracked_persist(agg)
@@ -677,16 +696,25 @@ class IncrementalDedupIndex:
             if cfg.lsh_rows == 1
             else F.lit(None)
         )
+        sel = [
+            F.col("id_a"),
+            F.col("id_b"),
+            F.col("channels"),
+            mh_overlap.cast("int").alias("mh_overlap"),
+            F.col("is_star"),
+        ]
+        if cfg.lsh_rows != 1:
+            # exact band co-occurrence count — the prefilter's r>1
+            # necessary-condition floor (see fused.py / verify.py)
+            sel.append(
+                F.when(F.col("_mh_any"), F.col("_mh_cnt"))
+                .cast("int")
+                .alias("band_hits")
+            )
         return (
             scored.withColumn("channels", channels)
             .filter(F.size("channels") > 0)
-            .select(
-                "id_a",
-                "id_b",
-                "channels",
-                mh_overlap.cast("int").alias("mh_overlap"),
-                "is_star",
-            )
+            .select(*sel)
         )
 
     def _sim_lookup(self, fresh: DataFrame) -> DataFrame:
@@ -749,7 +777,8 @@ class IncrementalDedupIndex:
                 cands, fresh, old_sigs
             ).localCheckpoint(eager=True)
             filtered, _pre = verify.prefilter_candidates(
-                cands, reps_act, overlap_from_bands=False
+                cands, reps_act, overlap_from_bands=False,
+                band_rows=cfg.lsh_rows,
             )
             capped, _cap = verify.cap_candidate_degree(
                 filtered, cfg.verify_degree_cap
@@ -788,6 +817,35 @@ class IncrementalDedupIndex:
             return self._add_batch_inner(pages)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    def add_batches(self, batches: list[DataFrame]) -> DataFrame:
+        """Drain a QUEUE of pending batches in ONE classification action.
+
+        The per-batch cost is dominated by a fixed floor of small jobs
+        and plan barriers (measured: ~40-55 s regardless of batch size at
+        10k-doc scale — scripts/incr_profile.py), so when ingest falls
+        behind and k batches are queued, classifying their union costs
+        ~1 floor instead of k floors. Semantically free: add_batch label
+        parity with the monolithic run holds for ANY batch partitioning
+        of the corpus (tests pin sequential == coalesced == monolithic),
+        because classification is against the index state plus the whole
+        in-flight batch. The one visible difference: when the SAME url
+        appears in two queued batches with different content, coalescing
+        resolves it deterministically (lowest text_sha wins — the
+        in-batch dedup rule) rather than by arrival order; a re-crawl
+        that must override needs update_batch either way.
+
+        Reference analog: pipe mode accumulates however much input is
+        buffered into one segment run rather than one run per write()
+        (/root/reference/pcompress.c pipe path; rabin/global/index.c
+        segment accumulation)."""
+        batches = [b for b in batches if b is not None]
+        if not batches:
+            return self.spark.createDataFrame([], _ASSIGN_SCHEMA)
+        u = batches[0]
+        for b in batches[1:]:
+            u = u.unionByName(b)
+        return self.add_batch(u)
 
     def _phase(self, name: str) -> None:
         """Tag subsequent jobs (thread-inheritable) so the Spark UI / REST

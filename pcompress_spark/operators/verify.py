@@ -66,6 +66,7 @@ def prefilter_candidates(
     reps: DataFrame,
     min_matches: int = 3,
     overlap_from_bands: bool = True,
+    band_rows: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Signature-level pre-filter before exact verification — the
     distributed analog of the reference probing the full checksum before
@@ -91,9 +92,19 @@ def prefilter_candidates(
     boilerplate corpus; gating on the exact value keeps a genuinely
     similar pair (J >= 0.4) w.p. ~0.996 and cuts that junk.
     `overlap_from_bands=False` (required when cfg.lsh_rows != 1, where
-    band co-occurrence is NOT signature overlap) discards any upstream
-    counts and recomputes overlap exactly via array_intersect on the
-    minhash signatures.
+    band co-occurrence is NOT signature overlap) recomputes overlap
+    exactly via array_intersect on the minhash signatures — but only for
+    the pairs whose fate the exact value can still change. When the
+    candidate frame carries `band_hits` (the exact band co-occurrence
+    count, emitted by the fused/bipartite channels for r > 1), each
+    co-occurring band certifies `band_rows` agreeing signature
+    positions in disjoint band slices, so band_hits * band_rows is a
+    PROVEN FLOOR on the exact overlap: pairs whose floor already meets
+    min_matches — and pairs any non-minhash channel proposed — keep
+    without shipping their signature arrays (their mh_overlap is the
+    floor, a conservative rank for the degree cap); only minhash-only
+    pairs below the floor pay the array join (r4 VERDICT task #5 — the
+    r>1 leg's array-intersect premium).
 
     Returns (kept, drop_log(doc_id, n_dropped)) — like the bucket cap and
     degree cap, drops are logged, never silent.
@@ -104,8 +115,46 @@ def prefilter_candidates(
         # overlap). Null (non-minhash channels) stays null: the degree
         # cap ranks those channel-aware.
         scored = tracked_persist(candidates)
-    else:
-        scored = tracked_persist(_true_signature_overlap(candidates, reps))
+        keep = (
+            (F.coalesce(F.col("mh_overlap"), F.lit(0)) >= min_matches)
+            | (F.col("channels") != F.array(F.lit("minhash")))
+        )
+        dropped = (
+            scored.filter(~keep)
+            .select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_dropped"))
+        )
+        return scored.filter(keep), dropped
+    if "band_hits" in candidates.columns:
+        floor_ok = (
+            F.coalesce(F.col("band_hits"), F.lit(0)) * band_rows
+            >= min_matches
+        )
+        exempt = F.col("channels") != F.array(F.lit("minhash"))
+        cands = tracked_persist(candidates)
+        screened = cands.filter(floor_ok | exempt).withColumn(
+            "mh_overlap",
+            F.when(
+                F.col("band_hits").isNotNull(),
+                F.col("band_hits") * band_rows,
+            ).cast("int"),
+        )
+        need_exact = cands.filter(~(floor_ok | exempt))
+        exact = tracked_persist(
+            _true_signature_overlap(need_exact, reps)
+        )
+        kept = screened.unionByName(
+            exact.filter(F.col("mh_overlap") >= min_matches)
+        ).drop("band_hits")
+        dropped = (
+            exact.filter(F.col("mh_overlap") < min_matches)
+            .select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_dropped"))
+        )
+        return kept, dropped
+    scored = tracked_persist(_true_signature_overlap(candidates, reps))
     keep = (
         (F.coalesce(F.col("mh_overlap"), F.lit(0)) >= min_matches)
         | (F.col("channels") != F.array(F.lit("minhash")))

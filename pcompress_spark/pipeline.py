@@ -202,7 +202,8 @@ class DedupPipeline:
             # recomputes it exactly from the minhash arrays
             merged, hot = fused.fused_candidates(reps, cfg)
             filtered, pre_dropped = verify.prefilter_candidates(
-                merged, reps, overlap_from_bands=False
+                merged, reps, overlap_from_bands=False,
+                band_rows=cfg.lsh_rows,
             )
         else:
             merged = self._candidates_legacy(reps)

@@ -9,7 +9,14 @@ times — the curve should stay ~flat as the index grows, the property the
 Writes BENCH_MULTIBATCH.json at the repo root; exits non-zero on any
 parity mismatch (this is a check, not just a benchmark).
 
-Usage: python scripts/multi_batch_check.py [--docs N] [--batches K] [--cpus C]
+`--queue-depth Q` (default 1) models ingest falling behind: batches
+still ARRIVE one at a time, but the index drains up to Q pending batches
+per classification action via add_batches() — one per-batch floor paid
+per drain instead of per batch. Parity is asserted against the
+monolithic run in every mode (coalescing changes cost, never labels).
+
+Usage: python scripts/multi_batch_check.py [--docs N] [--batches K]
+       [--cpus C] [--queue-depth Q]
 """
 
 from __future__ import annotations
@@ -28,12 +35,15 @@ def main() -> int:
     docs = 100_000
     batches = 10
     cpus = 32
+    queue_depth = 1
     if "--docs" in sys.argv:
         docs = int(sys.argv[sys.argv.index("--docs") + 1])
     if "--batches" in sys.argv:
         batches = int(sys.argv[sys.argv.index("--batches") + 1])
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    if "--queue-depth" in sys.argv:
+        queue_depth = int(sys.argv[sys.argv.index("--queue-depth") + 1])
 
     from pcompress_spark.warmup import ensure_warm
 
@@ -63,21 +73,44 @@ def main() -> int:
     idx = IncrementalDedupIndex(spark, PipelineConfig(), idx_dir)
 
     walls = []
+    queue: list = []
+    queued_ids: list[int] = []
+
+    def _drain():
+        if not queue:
+            return
+        n = sum(p.count() for p in queue)
+        t0 = time.time()
+        idx.add_batches(list(queue))
+        walls.append({
+            "batches": list(queued_ids), "docs": n,
+            "wall_s": round(time.time() - t0, 1),
+        })
+        print(json.dumps(walls[-1]), flush=True)
+        queue.clear()
+        queued_ids.clear()
+
     for b in range(batches):
         part = pages.filter(bucket == b).localCheckpoint()
         n = part.count()
-        t0 = time.time()
         if b == 0:
+            t0 = time.time()
             idx.bootstrap(part)
+            walls.append({"batches": [0], "docs": n,
+                          "wall_s": round(time.time() - t0, 1)})
+            print(json.dumps(walls[-1]), flush=True)
         else:
-            idx.add_batch(part)
-        walls.append({"batch": b, "docs": n, "wall_s": round(time.time() - t0, 1)})
-        print(json.dumps(walls[-1]), flush=True)
+            queue.append(part)
+            queued_ids.append(b)
+            if len(queue) >= queue_depth:
+                _drain()
         if b == batches // 2:
+            _drain()  # compact() needs no in-flight batches
             t0 = time.time()
             folded = idx.compact()
             print(json.dumps({"compact_after_batch": b, "folded": folded,
                               "wall_s": round(time.time() - t0, 1)}), flush=True)
+    _drain()
 
     incr = {r["doc_id"]: r["cluster_id"]
             for r in idx.assignments().collect()}
@@ -95,6 +128,7 @@ def main() -> int:
     diff = {d: (c, full.get(d)) for d, c in incr.items() if full.get(d) != c}
     result = {
         "docs": docs,
+        "queue_depth": queue_depth,
         "batches": walls,
         "incremental_total_s": round(sum(w["wall_s"] for w in walls), 1),
         "monolithic_s": t_full,
@@ -104,7 +138,9 @@ def main() -> int:
     }
     line = json.dumps(result)
     print(line)
-    with open(os.path.join(REPO, "BENCH_MULTIBATCH.json"), "w") as fh:
+    out = ("BENCH_MULTIBATCH.json" if queue_depth == 1
+           else f"BENCH_MULTIBATCH_Q{queue_depth}.json")
+    with open(os.path.join(REPO, out), "w") as fh:
         fh.write(line + "\n")
     if diff or len(incr) != len(full):
         print(f"PARITY FAIL: {len(diff)} mismatches, "

@@ -44,6 +44,24 @@ def test_incremental_matches_full_run(split_run, assignments_run):
     assert not diff, f"{len(diff)} label mismatches, e.g. {list(diff.items())[:5]}"
 
 
+def test_coalesced_queue_matches_full_run(
+    spark, pages_df, assignments_run, tmp_path
+):
+    """Draining a QUEUE of pending batches in one action (add_batches)
+    yields exactly the monolithic labels — the coalescing path pays one
+    per-batch floor for k queued batches without changing any answer."""
+    q = F.pmod(F.xxhash64("url"), F.lit(4))
+    idx = IncrementalDedupIndex(spark, PipelineConfig(), str(tmp_path))
+    idx.bootstrap(pages_df.filter(q == 0))
+    idx.add_batches([pages_df.filter(q == i) for i in (1, 2, 3)])
+    full_pdf, _ckpt, _pipe = assignments_run
+    full = dict(zip(full_pdf["doc_id"], full_pdf["cluster_id"]))
+    incr = _as_map(idx.assignments())
+    assert len(incr) == len(full)
+    diff = {d: (c, full[d]) for d, c in incr.items() if full[d] != c}
+    assert not diff, f"{len(diff)} label mismatches"
+
+
 def test_merge_bridges_existing_clusters(spark, tmp_path):
     """A batch doc near-duplicating two docs that bootstrapped into
     separate clusters must merge them — and the merged label must be the
