@@ -103,6 +103,23 @@ class PipelineConfig:
                                      # exchange ships/sorts 1 key column
                                      # instead of 2; False = the unpacked
                                      # r3 layout (A/B lever)
+    r_gt1_band_screen: bool = False  # library lever for DIRECT callers
+                                     # of verify.prefilter_candidates at
+                                     # r>1: keep pairs whose proven floor
+                                     # band_hits*r >= min_matches without
+                                     # shipping minhash arrays (kept set
+                                     # provably identical — parity test).
+                                     # The PIPELINE no longer runs the
+                                     # signature prefilter at r>1 at all:
+                                     # banding at r>1 is itself the
+                                     # precision screen (junk collides
+                                     # w.p. ~J^r per band) and the τ-gate
+                                     # verify catches the residue —
+                                     # measured r5 on 60k docs: screen-on
+                                     # 98-118s, screen-off-with-prefilter
+                                     # 78-102s, no-prefilter 48-50s for
+                                     # the b=10/r=2 leg, recall gate 1.00
+                                     # throughout.
     curation_gate: bool = False      # run the webtext keep/drop gate
                                      # (analysis/webtext.quality_gate)
                                      # ahead of signatures: rejected docs

@@ -776,12 +776,13 @@ class IncrementalDedupIndex:
             reps_act = self._endpoint_reps(
                 cands, fresh, old_sigs
             ).localCheckpoint(eager=True)
-            filtered, _pre = verify.prefilter_candidates(
-                cands, reps_act, overlap_from_bands=False,
-                band_rows=cfg.lsh_rows,
-            )
+            # r>1: banding is the precision screen — skip the signature
+            # prefilter entirely (see pipeline._candidates r>1 comment);
+            # every surviving pair is exact-Jaccard-verified below.
+            if "band_hits" in cands.columns:
+                cands = cands.drop("band_hits")
             capped, _cap = verify.cap_candidate_degree(
-                filtered, cfg.verify_degree_cap
+                cands, cfg.verify_degree_cap
             )
             capped = capped.localCheckpoint(eager=True)
         return verify.verify_edges(capped, reps_act, cfg).select("src", "dst")

@@ -198,12 +198,25 @@ class DedupPipeline:
             # measured ~20% of the candidates barrier at 100k docs).
             filtered, hot, pre_dropped = fused.fused_prefiltered(reps, cfg)
         elif cfg.fused_channels:
-            # r > 1: band counts are not signature overlap — prefilter
-            # recomputes it exactly from the minhash arrays
+            # r > 1: the banding ITSELF is the precision screen — a junk
+            # pair (background J≈0.02) collides in a band w.p. ~J^r, so
+            # at r=2 the candidate stream is ~99.6% real vs ~67% junk at
+            # r=1. The signature prefilter was built for r=1's junk rate;
+            # at r>1 its exact array-intersect costs more than the junk
+            # it removes (measured r5: the r2 leg's candidates stage
+            # carried the intersect for a sub-1% junk fraction), and any
+            # pair it would drop fails the exact-Jaccard τ gate in
+            # verify anyway — skipping it is recall-safe (golden b=10/
+            # r=2 gate pins 1.00). cfg.r_gt1_band_screen remains the
+            # library-level lever for prefilter_candidates callers.
+            # Reference analog: the -EE regime trusts verification at a
+            # looser sketch threshold (rabin_dedup.h:153-159).
             merged, hot = fused.fused_candidates(reps, cfg)
-            filtered, pre_dropped = verify.prefilter_candidates(
-                merged, reps, overlap_from_bands=False,
-                band_rows=cfg.lsh_rows,
+            if "band_hits" in merged.columns:
+                merged = merged.drop("band_hits")
+            filtered = merged
+            pre_dropped = self.spark.createDataFrame(
+                [], "doc_id long, n_dropped bigint"
             )
         else:
             merged = self._candidates_legacy(reps)

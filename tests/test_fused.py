@@ -142,11 +142,26 @@ def test_r_gt_1_emits_null_overlap(spark):
     mh_rows = cands.filter(F.array_contains("channels", "minhash"))
     assert mh_rows.count() > 0
     assert mh_rows.filter(F.col("mh_overlap").isNotNull()).count() == 0
-    # prefilter with overlap_from_bands=False recomputes via intersect
+    # the channel also emits the exact band-hit count for the optional
+    # r>1 floor screen (cfg.r_gt1_band_screen, default off)
+    assert "band_hits" in cands.columns
+    # prefilter default path (screen off): band_hits stripped, overlap
+    # recomputed exactly via intersect for every pair
     kept, _ = verify.prefilter_candidates(
-        cands, reps, min_matches=3, overlap_from_bands=False
+        cands.drop("band_hits"), reps, min_matches=3,
+        overlap_from_bands=False,
     )
     assert kept.filter(F.col("mh_overlap").isNull()).count() == 0
+    # screen path (band_rows=r): identical kept PAIR SET — floor >= gate
+    # implies exact >= gate, and undecided pairs fall through to exact
+    kept_s, _ = verify.prefilter_candidates(
+        cands, reps, min_matches=3, overlap_from_bands=False,
+        band_rows=cfg.lsh_rows,
+    )
+    assert (
+        {(r.id_a, r.id_b) for r in kept_s.collect()}
+        == {(r.id_a, r.id_b) for r in kept.collect()}
+    )
     reps.unpersist()
 
 
