@@ -62,7 +62,46 @@ def test_coalesced_queue_matches_full_run(
     assert not diff, f"{len(diff)} label mismatches"
 
 
-def test_merge_bridges_existing_clusters(spark, tmp_path):
+def test_coalesced_queue_duplicate_url_resolves_by_sha(spark, tmp_path):
+    """The documented cross-queue rule: when the SAME url sits in two
+    queued batches with different content, coalescing resolves it by the
+    in-batch dedup rule (lowest text_sha wins) — deterministically, not
+    by arrival order. Both orderings of the queue must yield the same
+    index state, and exactly one version of the doc is classified."""
+    import hashlib
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [(u, t, "en") for u, t in rows],
+            "url string, text string, lang string",
+        )
+
+    t1 = "first crawl of the contested page with some words " * 6
+    t2 = "second crawl body that is entirely different text " * 6
+    winner = min(
+        (t1, t2), key=lambda t: hashlib.sha256(t.encode()).hexdigest()
+    )
+    base = [("u://stable", "an unrelated stable document " * 8)]
+    results = []
+    for order in ((t1, t2), (t2, t1)):
+        idx_dir = str(tmp_path / f"idx_{order[0][:5]}")
+        idx = IncrementalDedupIndex(spark, PipelineConfig(), idx_dir)
+        idx.bootstrap(pages(base))
+        idx.add_batches(
+            [pages([("u://dup", order[0])]), pages([("u://dup", order[1])])]
+        )
+        rows = idx.assignments().collect()
+        results.append({r["doc_id"]: r["cluster_id"] for r in rows})
+        assert len(rows) == 2  # stable + exactly one contested version
+    assert results[0] == results[1]
+    # and the survivor is the sha-minimal content: re-delivering it is a
+    # no-op (known), while the loser would be skipped as a known doc_id
+    idx2 = IncrementalDedupIndex(
+        spark, PipelineConfig(), str(tmp_path / "idx_check")
+    )
+    idx2.bootstrap(pages(base))
+    idx2.add_batches([pages([("u://dup", winner)])])
+    assert idx2.add_batch(pages([("u://dup", t1)])).count() == 0
     """A batch doc near-duplicating two docs that bootstrapped into
     separate clusters must merge them — and the merged label must be the
     global min doc_id, exactly as one full run would label it."""
