@@ -27,9 +27,12 @@ is_representative) + checkpoints and `_lineage.jsonl` under
 Operating modes (--mode): `full` is the monolithic run above;
 `bootstrap`/`increment` persist/probe the incremental dedup index
 (operators/incremental.py) so daily increments classify without
-reprocessing the corpus; `stream` drains a landing directory through the
-near-dup stream (streaming/ingest.run_ingest_neardup). The last three
-write merge-resolved (doc_id, cluster_id) assignments.
+reprocessing the corpus (repeat --input to drain a queue of pending
+batches in one action); `update` is the re-crawl upsert (changed urls
+re-versioned and relabeled under an atomic tombstone commit); `stream`
+drains a landing directory through the near-dup stream
+(streaming/ingest.run_ingest_neardup). These modes write merge-resolved
+(doc_id, cluster_id) assignments.
 """
 
 from __future__ import annotations
@@ -43,22 +46,31 @@ import time
 def parse_cli(argv: list[str]) -> argparse.Namespace:
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="pages parquet path or ice.<table>")
+    src.add_argument(
+        "--input", action="append",
+        help="pages parquet path or ice.<table>; repeatable in "
+             "increment mode — several pending batches drain in ONE "
+             "classification action (add_batches queue coalescing)",
+    )
     src.add_argument(
         "--gen-docs", type=int, help="synthesize N deterministic pages"
     )
     ap.add_argument("--output", required=True, help="assignments parquet dir")
     ap.add_argument(
         "--mode", default="full",
-        choices=("full", "bootstrap", "increment", "stream", "curate"),
+        choices=("full", "bootstrap", "increment", "update", "stream",
+                 "curate"),
         help="full: monolithic pipeline run (default); bootstrap: full run "
              "that also persists the incremental index to --index-dir; "
              "increment: classify --input as a new batch against the "
-             "index; stream: drain --input as a landing dir of micro-batch "
-             "drops through the near-dup stream (availableNow); curate: "
-             "normalization + quality gate + cross-doc line dedup over the "
-             "pages input -> curated pages at --output, drop report at "
-             "<output>_report",
+             "index (repeat --input to drain a queue in one action); "
+             "update: re-crawl upsert — changed-content urls are "
+             "re-versioned/relabeled, fresh urls ingest (atomic "
+             "tombstone commit); stream: drain --input as a landing dir "
+             "of micro-batch drops through the near-dup stream "
+             "(availableNow); curate: normalization + quality gate + "
+             "cross-doc line dedup over the pages input -> curated pages "
+             "at --output, drop report at <output>_report",
     )
     ap.add_argument(
         "--line-mode", default="newline",
@@ -100,6 +112,12 @@ def build_config(overrides: list[str]):
     return PipelineConfig.from_args(**kv)
 
 
+def _load_one(spark, path: str):
+    if path.startswith("ice."):
+        return spark.read.table(path)
+    return spark.read.parquet(path)
+
+
 def load_pages(spark, args):
     if args.gen_docs is not None:
         from pcompress_spark.datagen import gen_pages_spark
@@ -108,9 +126,18 @@ def load_pages(spark, args):
             spark, args.gen_docs,
             partitions=spark.sparkContext.defaultParallelism * 2,
         )
-    if args.input.startswith("ice."):
-        return spark.read.table(args.input)
-    return spark.read.parquet(args.input)
+    frames = [_load_one(spark, p) for p in args.input]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def load_batches(spark, args):
+    """One DataFrame per --input occurrence (increment-mode queue)."""
+    if args.gen_docs is not None:
+        return [load_pages(spark, args)]
+    return [_load_one(spark, p) for p in args.input]
 
 
 def run_curate(spark, args, t0: float) -> int:
@@ -182,8 +209,12 @@ def main(argv: list[str]) -> int:
     from pcompress_spark.pipeline import DedupPipeline
 
     cfg = build_config(args.conf_override)
-    if args.mode in ("bootstrap", "increment", "stream") and not args.index_dir:
+    if (args.mode in ("bootstrap", "increment", "update", "stream")
+            and not args.index_dir):
         raise SystemExit(f"--mode {args.mode} requires --index-dir")
+    if args.mode not in ("increment",) and args.input and len(args.input) > 1:
+        raise SystemExit("multiple --input paths are an increment-mode "
+                         "queue; other modes take one input")
     t0 = time.time()
     if args.mode == "curate":
         return run_curate(spark, args, t0)
@@ -194,21 +225,22 @@ def main(argv: list[str]) -> int:
         from pcompress_spark.streaming.ingest import run_ingest_neardup
 
         q = run_ingest_neardup(
-            spark, args.input, args.index_dir,
+            spark, args.input[0], args.index_dir,
             args.stream_checkpoint or f"{args.index_dir}/_stream_ckpt",
             cfg=cfg,
         )
         q.awaitTermination()
         assignments = q._index.assignments()
-    elif args.mode in ("bootstrap", "increment"):
+    elif args.mode in ("bootstrap", "increment", "update"):
         from pcompress_spark.operators.incremental import IncrementalDedupIndex
 
         idx = IncrementalDedupIndex(spark, cfg, args.index_dir)
-        pages = load_pages(spark, args)
         if args.mode == "bootstrap":
-            idx.bootstrap(pages)
+            idx.bootstrap(load_pages(spark, args))
+        elif args.mode == "update":
+            idx.update_batch(load_pages(spark, args))
         else:
-            idx.add_batch(pages)
+            idx.add_batches(load_batches(spark, args))
         assignments = idx.assignments()
     else:
         pages = load_pages(spark, args)

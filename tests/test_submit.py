@@ -111,6 +111,73 @@ def test_run_dedup_bootstrap_then_increment_cli(spark, tmp_path) -> None:
     assert a2 == a1
 
 
+def test_run_dedup_update_and_queue_cli(spark, tmp_path) -> None:
+    """--mode update re-versions a changed url through the CLI, and
+    repeated --input paths drain as ONE coalesced increment action."""
+    import importlib
+
+    from pyspark.sql import functions as F
+
+    run_dedup = importlib.import_module("jobs.run_dedup")
+    idx_dir = str(tmp_path / "idx")
+
+    def write(rows, name):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "url string, text string, lang string"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return p
+
+    base = write(
+        [("u://a", "stable document alpha " * 10, "en"),
+         ("u://b", "changeable document beta " * 10, "en")],
+        "base",
+    )
+    rc = run_dedup.main([
+        "--input", base, "--mode", "bootstrap",
+        "--index-dir", idx_dir, "--output", str(tmp_path / "o1"),
+    ])
+    assert rc == 0
+
+    # queue: two pending batches drained in one action
+    q1 = write([("u://c", "fresh document gamma " * 10, "en")], "q1")
+    q2 = write([("u://d", "fresh document delta " * 10, "en")], "q2")
+    rc = run_dedup.main([
+        "--input", q1, "--input", q2, "--mode", "increment",
+        "--index-dir", idx_dir, "--output", str(tmp_path / "o2"),
+    ])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "o2")).count() == 4
+
+    # upsert: u://b re-crawled with changed content
+    upd = write(
+        [("u://b", "completely rewritten beta content " * 10, "en")],
+        "upd",
+    )
+    rc = run_dedup.main([
+        "--input", upd, "--mode", "update",
+        "--index-dir", idx_dir, "--output", str(tmp_path / "o3"),
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "o3"))
+    assert out.count() == 4  # still 4 docs, b re-versioned not duplicated
+    b_id = out.filter(
+        F.col("doc_id") == F.xxhash64(F.lit("u://b"))
+    )
+    assert b_id.count() == 1
+
+    # multi-input is an increment-only feature
+    rc = None
+    try:
+        run_dedup.main([
+            "--input", q1, "--input", q2, "--mode", "full",
+            "--output", str(tmp_path / "o4"),
+        ])
+    except SystemExit as e:
+        rc = str(e)
+    assert rc and "increment-mode" in rc
+
+
 def test_run_dedup_curate_mode(spark, tmp_path, capsys) -> None:
     """--mode curate writes curated pages + a drop report: normalized
     text, quality drops logged by reason, cross-doc line dedup applied
